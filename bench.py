@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: gate-bootstrap throughput on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference GPU's best reported gate-bootstrap throughput,
+~454 bootstraps/s (32-bit coalesced gate batch in 70.50 ms on a GTX 1080,
+paper Table IV; see BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+import tfhe_tpu as tt
+from tfhe_tpu import gates
+
+BASELINE_BOOTSTRAPS_PER_SEC = 454.0  # reference GPU, 32-bit gate batch (Table IV)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    params = tt.PARAMS_110
+
+    t0 = time.time()
+    sk = tt.keygen(params, seed=(314, 1592, 657))
+    print(f"# keygen: {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+
+    rng = np.random.RandomState(0)
+    bits_a = rng.randint(0, 2, size=batch).astype(np.int32)
+    bits_b = rng.randint(0, 2, size=batch).astype(np.int32)
+    ca = tt.encrypt_bits(sk, bits_a, seed=1)
+    cb = tt.encrypt_bits(sk, bits_b, seed=2)
+
+    # warmup (compile)
+    t0 = time.time()
+    out = gates.AND(ca, cb, sk.cloud)
+    jax.block_until_ready(out)
+    print(f"# first AND batch (compile+run): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # verify correctness before timing
+    got = tt.decrypt_bits(sk, out)
+    want = bits_a & bits_b
+    assert np.array_equal(got, want), "AND gate decryption mismatch!"
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = gates.AND(out, cb, sk.cloud)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    thr = batch / dt
+
+    print(f"# {batch} bootstraps in {dt*1000:.1f} ms -> {thr:.1f} bootstraps/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "gate_bootstraps_per_sec",
+        "value": round(thr, 2),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(thr / BASELINE_BOOTSTRAPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Encrypted integer arithmetic circuits (batched, LSB-first, two's complement).
+
+Ports every circuit of the reference's arithmetic layer to batched TPU gates:
+- bitwise ripple adder        <- taskLevelParallelAdd_bitwise (main.cu:821-890)
+- number-wise carry-save add  <- taskLevelParallelAdd (main.cu:619-652)
+- two's complement            <- twosComplement (cpuParallel/Cipher.cpp:300-311)
+- subtraction                 <- operator- (Cipher.cpp:342-345)
+- shift-and-add multiplier    <- multiplyLweSamples (main.cu:1483-1579), with the
+                                 iBits^2 AND matrix in ONE bootstrap batch and the
+                                 log-tree reduction (paper section V-B2)
+- comparison (>, <=, ==)      <- Cipher.cpp:597-644
+- minimum / compare_bit       <- Cipher.cpp:313-340
+- absolute                    <- Cipher.cpp:483-505
+- division (restoring)        <- divInternal / operator/ (Cipher.cpp:508-558)
+- addSign (cond. negate)      <- Cipher.cpp:560-577
+- shifts                      <- leftShift/innerRightShift etc.
+
+An n-bit integer is an LweCiphertext batch with trailing axis nbits (bit i =
+2^i). All circuits accept arbitrary leading batch shapes, so "vector ops" are
+the same circuits on a bigger batch (the reference's `_vector` variants).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import gates
+from .core.lwe import LweCiphertext, lwe_concat, lwe_stack
+from .core.crypt import lwe_encrypt, lwe_phase
+from .numeric import mod_switch_to_torus32
+from .params import TfheParams
+
+_1_8 = gates._1_8
+
+
+# --------------------------------------------------------------- encode / io
+
+def encrypt_int(sk, value, nbits: int, seed: int = 0) -> LweCiphertext:
+    """Encrypt integers as nbits LSB-first encrypted bits
+    (ref convertNumberToBits, main.cu:524-548). value: int or int array."""
+    value = np.asarray(value, np.int64)
+    bits = (value[..., None] >> np.arange(nbits)) & 1
+    from .core.crypt import encrypt_bits
+    return encrypt_bits(sk, bits.astype(np.int32), seed=seed)
+
+
+def decrypt_int(sk, ct: LweCiphertext, signed: bool = True) -> np.ndarray:
+    """Decrypt an integer ciphertext (ref decryptCheck, main.cu:2203-2222)."""
+    from .core.crypt import decrypt_bits
+    bits = decrypt_bits(sk, ct).astype(np.int64)
+    nbits = bits.shape[-1]
+    val = np.sum(bits * (1 << np.arange(nbits)), axis=-1)
+    if signed:
+        val = val - (bits[..., -1] << nbits)
+    return val
+
+
+def trivial_bits(bits, n: int, batch_shape=()) -> LweCiphertext:
+    """Noiseless trivial encryption of constant bits."""
+    bits = jnp.broadcast_to(jnp.asarray(bits, jnp.int32), batch_shape)
+    return gates.CONSTANT(bits, n, bits.shape)
+
+
+def zero_like_bits(x: LweCiphertext, batch_shape) -> LweCiphertext:
+    return gates.CONSTANT(jnp.zeros(batch_shape, jnp.int32), x.n, batch_shape)
+
+
+# --------------------------------------------------------------- adders
+
+def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Bitwise ripple-carry adder, the reference's fastest (GPU_1)
+    (taskLevelParallelAdd_bitwise, main.cu:821-890). 3 bootstrap rounds per bit,
+    each batched over all leading axes; result has the same nbits (overflow
+    dropped, matching the reference)."""
+    nbits = a.batch_shape[-1]
+    # bit 0: sum = XOR, carry = AND, one compound bootstrap
+    c0, s0 = gates.gate2_pair("AND", "XOR", a[..., 0], b[..., 0], a[..., 0], b[..., 0], cloud)
+    sums = [s0]
+    carry = c0
+    for i in range(1, nbits):
+        ai, bi = a[..., i], b[..., i]
+        t0, t1 = gates.gate2_pair("XOR", "XOR", ai, carry, bi, carry, cloud)
+        t = gates.AND(t0, t1, cloud)
+        si, carry = gates.gate2_pair("XOR", "XOR", ai, t1, t, carry, cloud)
+        sums.append(si)
+    return lwe_stack(sums, axis=-1)
+
+
+def add_numberwise(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Number-wise carry-save adder (GPU_n, taskLevelParallelAdd main.cu:619-652):
+    nbits iterations of one compound ANDXOR bootstrap over all bits."""
+    nbits = a.batch_shape[-1]
+    result = a
+    tempb = b
+    for _ in range(nbits):
+        and_out, xor_out = gates.gate2_pair("AND", "XOR", result, tempb, result, tempb, cloud)
+        # tempb = and_out << 1 with encrypted FALSE at bit 0 (main.cu:656-700)
+        zero = zero_like_bits(a, a.batch_shape[:-1] + (1,))
+        tempb = lwe_concat([zero, and_out[..., :-1]], axis=-1)
+        result = xor_out
+    return result
+
+
+def twos_complement(a: LweCiphertext, cloud) -> LweCiphertext:
+    """-a (ref twosComplement, Cipher.cpp:300-311): scan with a reach-one signal,
+    one compound (XOR, OR) bootstrap per bit."""
+    nbits = a.batch_shape[-1]
+    reach = zero_like_bits(a, a.batch_shape[:-1])
+    outs = []
+    for i in range(nbits):
+        out_i, reach = gates.gate2_pair("XOR", "OR", a[..., i], reach, reach, a[..., i], cloud)
+        outs.append(out_i)
+    return lwe_stack(outs, axis=-1)
+
+
+def sub(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """a - b = a + twos_complement(b) (ref Cipher.cpp:342-345)."""
+    return add(a, twos_complement(b, cloud), cloud)
+
+
+def left_shift(a: LweCiphertext, k: int) -> LweCiphertext:
+    """a << k with trivial FALSE fill (ref leftShift..., main.cu:1359-1481)."""
+    if k == 0:
+        return a
+    zero = zero_like_bits(a, a.batch_shape[:-1] + (k,))
+    return lwe_concat([zero, a[..., :-k]], axis=-1)
+
+
+def right_shift_arith(a: LweCiphertext, k: int) -> LweCiphertext:
+    """Arithmetic right shift, sign-extended (ref innerRightShift, Cipher.cpp:455-466,
+    without the negative-rounding correction step)."""
+    if k == 0:
+        return a
+    nbits = a.batch_shape[-1]
+    sign = a[..., nbits - 1:nbits]
+    exts = lwe_concat([sign] * k, axis=-1)
+    return lwe_concat([a[..., k:], exts], axis=-1)
+
+
+# --------------------------------------------------------------- multiplier
+
+def mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Shift-and-add multiplication, nbits-bit truncated result
+    (ref multiplyLweSamples, main.cu:1483-1579):
+
+    1. all nbits^2 partial-product ANDs in ONE bootstrap batch,
+    2. shifted partial products padded with trivial zeros,
+    3. log2-tree reduction with the batched ripple adder (paper Fig. 4).
+    """
+    nbits = a.batch_shape[-1]
+    lead = a.batch_shape[:-1]
+    # partial products: pp[i, j] = b_i AND a_j  -> batch [..., nbits, nbits]
+    arow = lwe_stack([a] * nbits, axis=-2)                 # [..., i, j] = a_j
+    bcol = lwe_stack([b[..., i] for i in range(nbits)], axis=-1)
+    bmat = lwe_stack([bcol] * nbits, axis=-1)              # [..., i, j] = b_i
+    pp = gates.AND(arow, bmat, cloud)                      # [..., nbits, nbits]
+    # shift row i left by i (truncated to nbits)
+    rows = []
+    for i in range(nbits):
+        row = pp[..., i, :]
+        rows.append(left_shift(row, i) if i else row)
+    # tree reduction (main.cu:1547-1569)
+    while len(rows) > 1:
+        nxt = []
+        half = len(rows) // 2
+        lhs = lwe_stack(rows[:half], axis=-2)
+        rhs = lwe_stack(rows[half:2 * half], axis=-2)
+        summed = add(lhs, rhs, cloud)                      # batched over the pair axis
+        nxt = [summed[..., i, :] for i in range(half)]
+        if len(rows) % 2:
+            nxt.append(rows[-1])
+        rows = nxt
+    return rows[0]
+
+
+# --------------------------------------------------------------- comparisons
+
+def compare_bit(result, ai, bi, cloud):
+    """One comparator stage (ref Cipher::compare_bit, Cipher.cpp:335-340):
+    result' = MUX(XNOR(a,b), result, a)."""
+    t = gates.XNOR(ai, bi, cloud)
+    return gates.MUX(t, result, ai, cloud)
+
+
+def minimum(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Minimum of two (positive) numbers (ref minimum, Cipher.cpp:313-333)."""
+    nbits = a.batch_shape[-1]
+    cmp = zero_like_bits(a, a.batch_shape[:-1])
+    for i in range(nbits):
+        cmp = compare_bit(cmp, a[..., i], b[..., i], cloud)
+    # cmp == 1 iff b larger? (ref: 0 if a larger, 1 if b larger) -> out = MUX(cmp, b, a)
+    cmps = lwe_stack([cmp] * nbits, axis=-1)
+    return gates.MUX(cmps, b, a, cloud)
+
+
+def gt(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Signed a > b -> 1-bit ciphertext (ref Cipher::operator>, Cipher.cpp:597-608)."""
+    nbits = a.batch_shape[-1]
+    cin = zero_like_bits(a, a.batch_shape[:-1])
+    for i in range(nbits):
+        # compareBit_g (Cipher.cpp:620-631): cin' = x ^ ((x^cin) & (y^cin))
+        t1, t2 = gates.gate2_pair("XOR", "XOR", a[..., i], cin, b[..., i], cin, cloud)
+        t = gates.AND(t1, t2, cloud)
+        cin = gates.XOR(a[..., i], t, cloud)
+    sign = gates.XOR(a[..., nbits - 1], b[..., nbits - 1], cloud)
+    return gates.XOR(sign, cin, cloud)
+
+
+def le(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """a <= b (ref Cipher::operator<=, Cipher.cpp:610-614)."""
+    return gates.NOT(gt(a, b, cloud))
+
+
+def eq(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """a == b (ref Cipher::operator==, Cipher.cpp:633-644), with a log-depth
+    OR tree instead of the reference's sequential OR chain."""
+    x = gates.XOR(a, b, cloud)                             # [..., nbits]
+    bits = [x[..., i] for i in range(x.batch_shape[-1])]
+    while len(bits) > 1:
+        half = len(bits) // 2
+        lhs = lwe_stack(bits[:half], axis=-1)
+        rhs = lwe_stack(bits[half:2 * half], axis=-1)
+        ored = gates.OR(lhs, rhs, cloud)
+        nxt = [ored[..., i] for i in range(half)]
+        if len(bits) % 2:
+            nxt.append(bits[-1])
+        bits = nxt
+    return gates.NOT(bits[0])
+
+
+# --------------------------------------------------------------- signed ops
+
+def absolute(a: LweCiphertext, cloud) -> LweCiphertext:
+    """|a| (ref absolute, Cipher.cpp:483-505): (a + sign_mask) ^ sign_mask."""
+    nbits = a.batch_shape[-1]
+    sign = a[..., nbits - 1]
+    mask = lwe_stack([sign] * nbits, axis=-1)
+    res = add(mask, a, cloud)
+    return gates.XOR(res, mask, cloud)
+
+
+def add_sign(x: LweCiphertext, sign, cloud) -> LweCiphertext:
+    """Conditionally negate x when sign==1 (ref addSign, Cipher.cpp:560-577)."""
+    nbits = x.batch_shape[-1]
+    reach = zero_like_bits(x, x.batch_shape[:-1])
+    result = []
+    for i in range(nbits - 1):
+        r_i = gates.XOR(x[..., i], reach, cloud)
+        reach = gates.OR(reach, x[..., i], cloud)
+        result.append(r_i)
+    result.append(gates.XOR(x[..., nbits - 1], reach, cloud))
+    res = lwe_stack(result, axis=-1)
+    signs = lwe_stack([sign] * nbits, axis=-1)
+    return gates.MUX(signs, res, x, cloud)
+
+
+def div(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Signed division via restoring division on absolutes
+    (ref operator/ + divInternal, Cipher.cpp:508-558)."""
+    nbits = a.batch_shape[-1]
+    abs_a = absolute(a, cloud)
+    abs_b = absolute(b, cloud)
+    # PA register: [remainder(nbits) | quotient-in-progress], LSB half = abs_a
+    pa_lo = abs_a                                  # bits [0, nbits)
+    pa_hi = zero_like_bits(a, a.batch_shape)       # bits [nbits, 2nbits)
+    for _ in range(nbits):
+        # PA <<= 1 across the 2*nbits register
+        pa_hi = lwe_concat([pa_lo[..., nbits - 1:nbits], pa_hi[..., :-1]], axis=-1)
+        zero1 = zero_like_bits(a, a.batch_shape[:-1] + (1,))
+        pa_lo = lwe_concat([zero1, pa_lo[..., :-1]], axis=-1)
+        temp_p = sub(pa_hi, abs_b, cloud)
+        neg = temp_p[..., nbits - 1]               # 1 if tempP < 0
+        bit = gates.NOT(neg)
+        pa_lo = lwe_concat([bit.reshape(bit.batch_shape + (1,)), pa_lo[..., 1:]], axis=-1)
+        negs = lwe_stack([neg] * nbits, axis=-1)
+        pa_hi = gates.MUX(negs, pa_hi, temp_p, cloud)
+    quotient = pa_lo
+    sign = gates.XOR(a[..., nbits - 1], b[..., nbits - 1], cloud)
+    return add_sign(quotient, sign, cloud)

@@ -1,0 +1,205 @@
+"""Batched gate bootstrapping: blind rotate -> sample extract -> key switch.
+
+This is the TPU-native re-design of the reference's fused fullGPU pipeline
+(`gpuParallel/boot-gates.cu:2120-2629` bootstrapAndKeySwitch_n_Bit):
+
+- ONE batched pipeline instead of the reference's three code generations; the
+  batch axis plays the role of bit coalescing (paper section V-A2).
+- The 500-iteration blind rotate is a `lax.scan` whose body does:
+  negacyclic rotate (gather) -> gadget decompose (shift/mask) -> forward NTT
+  (2 CRT primes) -> Shoup pointwise multiply-accumulate against the NTT-domain
+  BK -> inverse NTT -> CRT lift -> accumulate. Exact integer math throughout;
+  zero transform noise (the reference tolerates double-precision FFT rounding).
+- Sample extract is a flip/negate (ref lwe.cu:40-56).
+- Key switch is ONE int8 MXU matmul of a one-hot digit matrix against the
+  packed KS table (replaces the gather loop `lwe-keyswitch-functions.cu:955-989`
+  and the GPU kernels at :2364-2479).
+- Everything stays on device: the reference round-trips `b` and `u_b` through
+  the host every gate (`boot-gates.cu:2864-2867, 2602-2615`); here there are no
+  host transfers inside a gate.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..params import TfheParams
+from .. import ntt
+from ..numeric import to_u32, to_i32, mod_switch_from_torus32
+from .lwe import LweCiphertext
+
+
+# ------------------------------------------------------------------ pieces
+
+def negacyclic_rotate(x: jnp.ndarray, amount: jnp.ndarray) -> jnp.ndarray:
+    """X^amount * x in Z[X]/(X^N+1), batched.
+
+    x: int32[B, C, N]; amount: int32[B] in [0, 2N). Matches
+    torusPolynomialMulByXai (ref toruspolynomial-functions.cu:492-520).
+    """
+    N = x.shape[-1]
+    i = jnp.arange(N, dtype=jnp.int32)
+    d = i[None, :] - amount[:, None]
+    d = d + jnp.int32(2 * N) * (d < 0)          # [B, N] in [0, 2N)
+    neg = d >= N
+    idx = d - jnp.int32(N) * neg                # [B, N] in [0, N)
+    take = jnp.take_along_axis(
+        x, jnp.broadcast_to(idx[:, None, :], x.shape), axis=-1
+    )
+    return jnp.where(neg[:, None, :], -take, take)
+
+
+def gadget_decompose(x: jnp.ndarray, params: TfheParams) -> jnp.ndarray:
+    """Signed gadget decomposition with the offset trick.
+
+    x: int32[B, k+1, N] -> int32[B, kpl, N], row order c*l + p
+    (ref tGswTorus32PolynomialDecompH, tgsw-functions.cu:296-340;
+    tGswTLweDecompH row order :263-270).
+    """
+    l, Bgbit = params.bk_l, params.bk_Bgbit
+    u = to_u32(x) + jnp.uint32(params.decomp_offset)        # [B, k+1, N]
+    digs = []
+    for p in range(l):
+        shift = 32 - (p + 1) * Bgbit
+        d = ((u >> jnp.uint32(shift)) & jnp.uint32(params.maskMod))
+        digs.append(to_i32(d) - jnp.int32(params.halfBg))
+    dec = jnp.stack(digs, axis=2)                            # [B, k+1, l, N]
+    B = x.shape[0]
+    return dec.reshape(B, params.kpl, params.N)
+
+
+def extern_product_ntt(dec: jnp.ndarray, bk_j: jnp.ndarray, bk_sh_j: jnp.ndarray,
+                       params: TfheParams) -> jnp.ndarray:
+    """Sum_row dec_row (x) bk_row -> TLWE delta, exact via CRT NTT.
+
+    dec: int32[B, kpl, N]; bk_j/bk_sh_j: uint32[n_primes, kpl, k+1, N] (NTT domain).
+    Returns int32[B, k+1, N]. (ref tGswFFTExternMulToTLwe, tgsw-fft-operations.cu:124-265)
+    """
+    N = params.N
+    residues = []
+    for pi, p in enumerate(ntt.PRIMES):
+        d = ntt.small_to_residue(dec, p)                     # [B, kpl, N]
+        dhat = ntt.ntt_forward(d, N, p)
+        prod = ntt.mul_mod_shoup(
+            dhat[:, :, None, :], bk_j[pi][None], bk_sh_j[pi][None], p
+        )                                                    # [B, kpl, k+1, N]
+        # fold rows with modular adds (kpl is small and static)
+        s = prod[:, 0]
+        for r in range(1, params.kpl):
+            s = ntt.add_mod(s, prod[:, r], p)
+        residues.append(ntt.ntt_inverse(s, N, p))            # [B, k+1, N]
+    return ntt.crt_to_i32(residues[0], residues[1])
+
+
+def blind_rotate(acc: jnp.ndarray, bara: jnp.ndarray, bk_ntt: jnp.ndarray,
+                 bk_shoup: jnp.ndarray, params: TfheParams) -> jnp.ndarray:
+    """CMux chain over the n LWE key bits (ref tfhe_blindRotate + the fused loop
+    boot-gates.cu:2543-2583). acc: int32[B, k+1, N]; bara: int32[B, n]."""
+
+    def step(acc, xs):
+        bk_j, bk_sh_j, bara_j = xs
+        rot = negacyclic_rotate(acc, bara_j)
+        dec = gadget_decompose(rot - acc, params)
+        delta = extern_product_ntt(dec, bk_j, bk_sh_j, params)
+        # barai == 0 is automatically a no-op: decompose(0) == 0 exactly
+        # thanks to the offset trick, so delta == 0.
+        return acc + delta, None
+
+    acc, _ = jax.lax.scan(step, acc, (bk_ntt, bk_shoup, bara.T))
+    return acc
+
+
+def sample_extract(acc: jnp.ndarray, params: TfheParams):
+    """Extract the constant coefficient as an LWE sample over the extracted key
+    (ref tLweExtractLweSampleIndex, lwe.cu:40-56, index=0).
+
+    acc: int32[B, k+1, N] -> (a_ext int32[B, k*N], b_ext int32[B]).
+    """
+    k, N = params.k, params.N
+    B = acc.shape[0]
+    head = acc[:, :k, :1]                                    # [B, k, 1]
+    tail = -jnp.flip(acc[:, :k, 1:], axis=-1)                # [B, k, N-1]
+    a_ext = jnp.concatenate([head, tail], axis=-1).reshape(B, k * N)
+    b_ext = acc[:, k, 0]
+    return a_ext, b_ext
+
+
+def key_switch(a_ext: jnp.ndarray, b_ext: jnp.ndarray, ks_table: jnp.ndarray,
+               cv: jnp.ndarray, params: TfheParams) -> LweCiphertext:
+    """Key switch via one-hot int8 matmul on the MXU.
+
+    a_ext: int32[B, n_ext]; b_ext: int32[B]; ks_table from ks_to_limb_table.
+    result = (0, b_ext) - sum_{i,j} ks[i][j][digit_ij]
+    (ref lweKeySwitchTranslate_fromArray, lwe-keyswitch-functions.cu:101-127).
+    """
+    n, n_ext, t, basebit = params.n, params.n_extract, params.ks_t, params.ks_basebit
+    base = params.ks_base
+    B = a_ext.shape[0]
+    aibar = to_u32(a_ext) + jnp.uint32(params.ks_prec_offset)        # [B, n_ext]
+    digs = jnp.stack(
+        [(aibar >> jnp.uint32(32 - (j + 1) * basebit)) & jnp.uint32(base - 1)
+         for j in range(t)],
+        axis=-1,
+    )                                                                 # [B, n_ext, t]
+    hvals = jnp.arange(1, base, dtype=jnp.uint32)
+    onehot = (digs[..., None] == hvals).astype(jnp.int8)              # [B, n_ext, t, base-1]
+    rows = n_ext * t * (base - 1)
+    onehot = onehot.reshape(B, rows)
+    sums = jnp.matmul(onehot, ks_table, preferred_element_type=jnp.int32)
+    pad_cols = ks_table.shape[1] // 4
+    s = sums.reshape(B, 4, pad_cols)
+    r = (s[:, 0]
+         + (s[:, 1] << jnp.int32(8))
+         + (s[:, 2] << jnp.int32(16))
+         + (s[:, 3] << jnp.int32(24)))                                # int32 wrap
+    a_out = -r[:, :n]
+    b_out = b_ext - r[:, n]
+    cv_out = cv + jnp.float32(n_ext * t * params.ks_stdev ** 2)
+    return LweCiphertext(a_out, b_out, jnp.broadcast_to(cv_out, b_out.shape))
+
+
+# ------------------------------------------------------------------ pipeline
+
+def bootstrap_woks(x: LweCiphertext, mu, cloud) -> tuple:
+    """Bootstrap without key switch: returns extracted (a_ext, b_ext, cv)
+    (ref tfhe_bootstrap_woKS_FFT, lwe-bootstrapping-functions-fft.cu:1834-1880).
+
+    x: flat batch [B]. mu: int32 scalar (the output message amplitude).
+    """
+    params: TfheParams = cloud.params
+    N, k = params.N, params.k
+    B = x.b.shape[0]
+    Nx2 = 2 * N
+
+    barb = mod_switch_from_torus32(x.b, Nx2)                 # [B]
+    bara = mod_switch_from_torus32(x.a, Nx2)                 # [B, n]
+
+    # testvector = X^{2N-barb} * [mu, mu, ..., mu]
+    mu_arr = jnp.broadcast_to(jnp.asarray(mu, jnp.int32), (B,))
+    tv = jnp.broadcast_to(mu_arr[:, None, None], (B, 1, N)).astype(jnp.int32)
+    amt = jnp.where(barb == 0, 0, jnp.int32(Nx2) - barb)
+    tvb = negacyclic_rotate(tv, amt)[:, 0]                   # [B, N]
+
+    acc = jnp.concatenate(
+        [jnp.zeros((B, k, N), jnp.int32), tvb[:, None, :]], axis=1
+    )
+    acc = blind_rotate(acc, bara, cloud.bk_ntt, cloud.bk_ntt_shoup, params)
+    a_ext, b_ext = sample_extract(acc, params)
+    cv = jnp.full((B,), _bootstrap_variance(params), jnp.float32)
+    return a_ext, b_ext, cv
+
+
+def bootstrap(x: LweCiphertext, mu, cloud) -> LweCiphertext:
+    """Full gate bootstrap (ref tfhe_bootstrap_FFT, lwe-bootstrapping-functions-fft.cu:1884)."""
+    a_ext, b_ext, cv = bootstrap_woks(x, mu, cloud)
+    return key_switch(a_ext, b_ext, cloud.ks_table, cv, cloud.params)
+
+
+def _bootstrap_variance(params: TfheParams) -> float:
+    """Post-blind-rotate variance estimate (standard TFHE noise formula)."""
+    l, Bg, N, k, n = params.bk_l, params.Bg, params.N, params.k, params.n
+    eps2 = (2.0 ** (-2 * l * params.bk_Bgbit)) / 4.0
+    var_bk = params.bk_stdev ** 2
+    return float(n * ((k + 1) * l * N * (Bg / 2.0) ** 2 * var_bk + (1 + k * N) * eps2))

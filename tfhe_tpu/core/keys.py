@@ -1,0 +1,237 @@
+"""Key generation: secret keyset, bootstrapping key, key-switch key, cloud keyset.
+
+Mirrors the reference keygen pipeline (`tfhe_gate_bootstrapping.cu:57-70`,
+`lwe-bootstrapping-functions.cu:185-229`, `lwe-keyswitch-functions.cu:886-938`)
+with a TPU-native cloud-key layout:
+
+- The bootstrapping key is stored **in NTT domain per CRT prime** with Shoup
+  precomputation (`bk_ntt`, `bk_ntt_shoup`: uint32[n, n_primes, kpl, k+1, N]),
+  replacing the reference's host->device complex-FFT upload
+  (`main.cu:165-213`, one cufftDoubleComplex buffer).
+- The key-switch key is stored as an **int8 limb-planes matrix** so the whole
+  key switch becomes one int8 MXU matmul against a one-hot digit matrix,
+  replacing the reference's 84M-entry gather table (`main.cu:364-407`) and its
+  per-bit replication. b is appended as an extra column.
+
+All randomness is drawn from a jax threefry PRNG seeded deterministically, so
+fixed seeds reproduce keys bit-exactly on any backend (the reference's fixed
+{314,1592,657} seed semantics, `main.cu:2724-2726`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import TfheParams
+from .. import ntt
+from ..numeric import dtot32, to_u32, uniform_torus32
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class CloudKey:
+    """Evaluation keys (device arrays). Pytree; `params` is static metadata."""
+    params: TfheParams
+    # bootstrapping key in NTT domain: uint32[n, n_primes, kpl, k+1, N]
+    bk_ntt: jnp.ndarray
+    bk_ntt_shoup: jnp.ndarray
+    # key-switch table, int8 limb planes: [rows, n_limbs * pad_cols] where
+    # rows = n_extract * t * (base-1) (C-order over (i, j, h-1)) and
+    # column block l holds limb l of [a[0..n-1], b, 0-pad...].
+    ks_table: jnp.ndarray
+
+    @property
+    def ks_pad_cols(self) -> int:
+        return self.ks_table.shape[1] // 4
+
+
+jax.tree_util.register_dataclass(
+    CloudKey, data_fields=("bk_ntt", "bk_ntt_shoup", "ks_table"), meta_fields=("params",)
+)
+
+
+@dataclass
+class SecretKeySet:
+    """Secret keys + host-side raw key material (for oracle tests / serialization)."""
+    params: TfheParams
+    lwe_key: np.ndarray          # int32[n] in {0,1}
+    tlwe_key: np.ndarray         # int32[k, N] in {0,1}
+    bk_raw: np.ndarray           # int32[n, kpl, k+1, N]
+    ks_a: np.ndarray             # int32[n_ext, t, base, n]
+    ks_b: np.ndarray             # int32[n_ext, t, base]
+    cloud: CloudKey
+    seed: Any = None
+
+    @property
+    def extracted_key(self) -> np.ndarray:
+        """TLWE key flattened to the extracted-LWE key (ref tLweExtractKey)."""
+        return self.tlwe_key.reshape(-1)
+
+
+def _seed_to_key(seed) -> jax.Array:
+    if isinstance(seed, (tuple, list)):
+        k = jax.random.PRNGKey(int(seed[0]) & 0x7FFFFFFF)
+        for s in seed[1:]:
+            k = jax.random.fold_in(k, int(s) & 0x7FFFFFFF)
+        return k
+    return jax.random.PRNGKey(int(seed) & 0x7FFFFFFF)
+
+
+def _batched_small_polymul(small, torus):
+    """Exact negacyclic product of {0,1}/small-int polys with torus polys.
+
+    small: int32[..., N] with |coef| small; torus: int32[..., N]. Broadcasts.
+    """
+    return ntt.negacyclic_polymul_i32(small, torus)
+
+
+def generate_bootstrapping_key(key, lwe_key, tlwe_key, params: TfheParams):
+    """TGSW encryptions of each LWE key bit (ref lwe-bootstrapping-functions.cu:185-229).
+
+    Returns int32[n, kpl, k+1, N].
+    """
+    n, N, k, l, kpl = params.n, params.N, params.k, params.bk_l, params.kpl
+    k_a, k_noise = jax.random.split(key)
+    # uniform mask polynomials for every row of every TGSW sample
+    a = uniform_torus32(k_a, (n, kpl, k, N))  # int32
+    if params.bk_stdev > 0.0:
+        noise_f = jax.random.normal(k_noise, (n, kpl, N), dtype=jnp.float32) * params.bk_stdev
+        noise = dtot32(noise_f)
+    else:
+        noise = jnp.zeros((n, kpl, N), jnp.int32)
+    # b = noise + sum_j s_j (x) a_j   (tLweSymEncryptZero, tlwe-functions.cu:26-39)
+    s = tlwe_key.astype(jnp.int32)  # [k, N]
+    prods = _batched_small_polymul(s[None, None, :, :], a)  # [n, kpl, k, N]
+    b = noise + jnp.sum(prods, axis=2, dtype=jnp.int32)
+    bk = jnp.concatenate([a, b[:, :, None, :]], axis=2)  # [n, kpl, k+1, N]
+
+    # add message * H on the block diagonal (tGswAddMuIntH, tgsw-functions.cu:114-123)
+    msg = lwe_key.astype(jnp.int32)  # [n]
+    upd = jnp.zeros((n, kpl, k + 1), jnp.int32)
+    for bloc in range(k + 1):
+        for p in range(l):
+            upd = upd.at[:, bloc * l + p, bloc].set(msg * jnp.int32(params.h[p]))
+    bk = bk.at[:, :, :, 0].add(upd)
+    return bk
+
+
+def bk_to_ntt(bk_raw: np.ndarray, params: TfheParams) -> Tuple[np.ndarray, np.ndarray]:
+    """Convert the raw BK to NTT domain per CRT prime, with Shoup tables."""
+    N = params.N
+    outs, shoups = [], []
+    for p in ntt.PRIMES:
+        res = ntt.i32_to_residue(jnp.asarray(bk_raw), p)
+        f = np.asarray(jax.jit(lambda r: ntt.ntt_forward(r, N, p))(res))
+        outs.append(f)
+        shoups.append(ntt.shoup(f, p))
+    bk_ntt = np.stack(outs, axis=1)        # [n, P, kpl, k+1, N]
+    bk_shoup = np.stack(shoups, axis=1)
+    return bk_ntt, bk_shoup
+
+
+def generate_keyswitch_key(key, ext_key, lwe_key, params: TfheParams):
+    """Key-switch key from the extracted key to the LWE key
+    (ref lweCreateKeySwitchKey, lwe-keyswitch-functions.cu:886-938).
+
+    Returns (ks_a int32[n_ext, t, base, n], ks_b int32[n_ext, t, base]).
+    """
+    n, n_ext, t, basebit = params.n, params.n_extract, params.ks_t, params.ks_basebit
+    base = params.ks_base
+    sizeks = n_ext * t * (base - 1)
+    k_a, k_noise = jax.random.split(key)
+
+    # recentered gaussian noise vector (ref :897-906)
+    if params.ks_stdev > 0.0:
+        noise = jax.random.normal(k_noise, (sizeks,), dtype=jnp.float32) * params.ks_stdev
+        noise = noise - jnp.mean(noise)
+        noise_t = dtot32(noise)
+    else:
+        noise_t = jnp.zeros((sizeks,), jnp.int32)
+
+    a = uniform_torus32(k_a, (sizeks, n))  # int32
+    # message for row (i, j, h): ext_key[i] * h * 2^(32-(j+1)*basebit)
+    hvals = jnp.arange(1, base, dtype=jnp.int32)  # [base-1]
+    shifts = jnp.array([1 << (32 - (j + 1) * basebit) for j in range(t)], jnp.int32)  # [t]
+    mess = (ext_key.astype(jnp.int32)[:, None, None] * hvals[None, None, :]
+            * shifts[None, :, None])  # [n_ext, t, base-1]
+    mess = mess.reshape(sizeks)
+    b = mess + noise_t + jnp.sum(a * lwe_key.astype(jnp.int32)[None, :], axis=1, dtype=jnp.int32)
+
+    a = a.reshape(n_ext, t, base - 1, n)
+    b = b.reshape(n_ext, t, base - 1)
+    # prepend the unused trivial h=0 row (ref :915)
+    ks_a = jnp.concatenate([jnp.zeros((n_ext, t, 1, n), jnp.int32), a], axis=2)
+    ks_b = jnp.concatenate([jnp.zeros((n_ext, t, 1), jnp.int32), b], axis=2)
+    return ks_a, ks_b
+
+
+def ks_to_limb_table(ks_a: np.ndarray, ks_b: np.ndarray, params: TfheParams) -> np.ndarray:
+    """Pack the KS key into the int8 limb-plane matmul table.
+
+    Rows: (i, j, h-1) C-order, h in [1, base). Columns: 4 limb planes of
+    [a_0..a_{n-1}, b, pad...] padded to a multiple of 128 lanes.
+    Signed base-256 digits with carry so that sum_l d_l * 2^(8l) == v (mod 2^32).
+    """
+    n = params.n
+    n_ext, t, base = ks_a.shape[0], ks_a.shape[1], ks_a.shape[2]
+    rows = n_ext * t * (base - 1)
+    pad_cols = _pad_to(n + 1, 128)
+    full = np.zeros((rows, pad_cols), np.uint32)
+    av = ks_a[:, :, 1:, :].reshape(rows, n).astype(np.int64).astype(np.uint32)
+    bv = ks_b[:, :, 1:].reshape(rows).astype(np.int64).astype(np.uint32)
+    full[:, :n] = av
+    full[:, n] = bv
+
+    limbs = np.zeros((rows, 4, pad_cols), np.int8)
+    carry = np.zeros((rows, pad_cols), np.int64)
+    v = full.astype(np.int64)
+    for l in range(4):
+        d = ((v >> (8 * l)) & 255) + carry
+        carry = (d > 127).astype(np.int64)
+        d = d - 256 * (d > 127)
+        limbs[:, l, :] = d.astype(np.int8)
+    return limbs.reshape(rows, 4 * pad_cols)
+
+
+def keygen(params: TfheParams, seed=(314, 1592, 657)) -> SecretKeySet:
+    """Generate a full secret keyset + cloud keyset (ref tfhe_gate_bootstrapping.cu:57-70)."""
+    root = _seed_to_key(seed)
+    k_lwe, k_tlwe, k_bk, k_ks = jax.random.split(root, 4)
+
+    lwe_key = jax.random.randint(k_lwe, (params.n,), 0, 2, dtype=jnp.int32)
+    tlwe_key = jax.random.randint(k_tlwe, (params.k, params.N), 0, 2, dtype=jnp.int32)
+
+    bk_raw = generate_bootstrapping_key(k_bk, lwe_key, tlwe_key, params)
+    ext_key = tlwe_key.reshape(params.n_extract)
+    ks_a, ks_b = generate_keyswitch_key(k_ks, ext_key, lwe_key, params)
+
+    bk_raw_np = np.asarray(bk_raw)
+    ks_a_np = np.asarray(ks_a)
+    ks_b_np = np.asarray(ks_b)
+
+    bk_ntt, bk_shoup = bk_to_ntt(bk_raw_np, params)
+    ks_table = ks_to_limb_table(ks_a_np, ks_b_np, params)
+
+    cloud = CloudKey(
+        params=params,
+        bk_ntt=jnp.asarray(bk_ntt),
+        bk_ntt_shoup=jnp.asarray(bk_shoup),
+        ks_table=jnp.asarray(ks_table),
+    )
+    return SecretKeySet(
+        params=params,
+        lwe_key=np.asarray(lwe_key),
+        tlwe_key=np.asarray(tlwe_key),
+        bk_raw=bk_raw_np,
+        ks_a=ks_a_np,
+        ks_b=ks_b_np,
+        cloud=cloud,
+        seed=seed,
+    )

@@ -1,0 +1,160 @@
+"""Bootstrapped boolean gate API (batched).
+
+The 14 classic gates of the reference (`gpuParallel/boot-gates.cu:98-448`), the
+coalesced n-bit variants (`bootsAND_16`, `boot-gates.cu:595`), the compound
+gates (`bootsANDXOR_16`/`bootsXORXOR_16`, `boot-gates.cu:759,846`; paper
+section V-A3), and MUX (`boot-gates.cu:2631-2843`).
+
+TPU-native design: a gate is an affine combination of input batches followed by
+one batched bootstrap. ALL two-input gates share one compiled kernel (the gate
+constants are dynamic scalars), and a compound gate is just "stack two affine
+images on the batch axis before the bootstrap", so there is no `_16_2_vector`
+style variant explosion. Arbitrary leading batch shapes are supported; a batch
+of gates over B bits costs one bootstrap kernel of batch B.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .params import TfheParams
+from .core.lwe import (LweCiphertext, lwe_add, lwe_add_mul, lwe_concat,
+                       lwe_negate, noiseless_trivial)
+from .core import bootstrap as bs
+
+# Torus constants (modSwitchToTorus32(x, Msize))
+_1_8 = 1 << 29   # modSwitchToTorus32(1, 8)
+_1_4 = 1 << 30   # modSwitchToTorus32(1, 4)
+MU = _1_8        # output amplitude of every bootstrapped gate
+
+# gate -> (constant, coef_a, coef_b); phase>0 => output 1/8
+# (constants from boot-gates.cu:106,132,158,198,224,283,309,335,361,387,420,436)
+GATE_TABLE = {
+    "NAND":  (+_1_8, -1, -1),
+    "OR":    (+_1_8, +1, +1),
+    "AND":   (-_1_8, +1, +1),
+    "XOR":   (+_1_4, +2, +2),
+    "XNOR":  (-_1_4, -2, -2),
+    "NOR":   (-_1_8, -1, -1),
+    "ANDNY": (-_1_8, -1, +1),   # not(a) and b
+    "ANDYN": (-_1_8, +1, -1),   # a and not(b)
+    "ORNY":  (+_1_8, -1, +1),   # not(a) or b
+    "ORYN":  (+_1_8, +1, -1),   # a or not(b)
+}
+
+
+def _flatten(ct: LweCiphertext):
+    shape = ct.batch_shape
+    B = 1
+    for s in shape:
+        B *= s
+    return ct.reshape(B), shape
+
+
+@jax.jit
+def _affine2(x: LweCiphertext, y: LweCiphertext, const, ca, cb) -> LweCiphertext:
+    """(0, const) + ca*x + cb*y with int32 wrap (the gate affine stage)."""
+    const = jnp.asarray(const, jnp.int32)
+    ca = jnp.asarray(ca, jnp.int32)
+    cb = jnp.asarray(cb, jnp.int32)
+    a = ca[..., None] * x.a + cb[..., None] * y.a
+    b = const + ca * x.b + cb * y.b
+    cv = ca.astype(jnp.float32) ** 2 * x.cv + cb.astype(jnp.float32) ** 2 * y.cv
+    return LweCiphertext(a, b, cv)
+
+
+@jax.jit
+def _bootstrap_flat(x: LweCiphertext, cloud) -> LweCiphertext:
+    return bs.bootstrap(x, jnp.int32(MU), cloud)
+
+
+@jax.jit
+def _bootstrap_woks_flat(x: LweCiphertext, cloud):
+    return bs.bootstrap_woks(x, jnp.int32(MU), cloud)
+
+
+@jax.jit
+def _keyswitch_flat(a_ext, b_ext, cv, cloud) -> LweCiphertext:
+    return bs.key_switch(a_ext, b_ext, cloud.ks_table, cv, cloud.params)
+
+
+def gate2(name: str, x: LweCiphertext, y: LweCiphertext, cloud) -> LweCiphertext:
+    """Generic bootstrapped 2-input gate; batch shapes must match."""
+    const, ca, cb = GATE_TABLE[name]
+    xf, shape = _flatten(x)
+    yf, _ = _flatten(y)
+    t = _affine2(xf, yf, jnp.int32(const), jnp.int32(ca), jnp.int32(cb))
+    out = _bootstrap_flat(t, cloud)
+    return out.reshape(shape)
+
+
+def gate2_pair(name1: str, name2: str, x1, y1, x2, y2, cloud):
+    """Compound gate: two gates, ONE batched bootstrap (paper section V-A3).
+
+    Returns (out1, out2). The reference's bootsANDXOR_16 is
+    gate2_pair('AND','XOR', a,b, a,b).
+    """
+    c1, a1, b1 = GATE_TABLE[name1]
+    c2, a2, b2 = GATE_TABLE[name2]
+    x1f, shape = _flatten(x1)
+    y1f, _ = _flatten(y1)
+    x2f, _ = _flatten(x2)
+    y2f, _ = _flatten(y2)
+    t1 = _affine2(x1f, y1f, jnp.int32(c1), jnp.int32(a1), jnp.int32(b1))
+    t2 = _affine2(x2f, y2f, jnp.int32(c2), jnp.int32(a2), jnp.int32(b2))
+    t = lwe_concat([t1, t2], axis=0)
+    out = _bootstrap_flat(t, cloud)
+    B = x1f.b.shape[0]
+    return out[:B].reshape(shape), out[B:].reshape(shape)
+
+
+# ---- the classic named gates --------------------------------------------
+
+def AND(x, y, cloud):   return gate2("AND", x, y, cloud)
+def OR(x, y, cloud):    return gate2("OR", x, y, cloud)
+def NAND(x, y, cloud):  return gate2("NAND", x, y, cloud)
+def NOR(x, y, cloud):   return gate2("NOR", x, y, cloud)
+def XOR(x, y, cloud):   return gate2("XOR", x, y, cloud)
+def XNOR(x, y, cloud):  return gate2("XNOR", x, y, cloud)
+def ANDNY(x, y, cloud): return gate2("ANDNY", x, y, cloud)
+def ANDYN(x, y, cloud): return gate2("ANDYN", x, y, cloud)
+def ORNY(x, y, cloud):  return gate2("ORNY", x, y, cloud)
+def ORYN(x, y, cloud):  return gate2("ORYN", x, y, cloud)
+
+
+def NOT(x: LweCiphertext, cloud=None) -> LweCiphertext:
+    """Negation, no bootstrap (ref boot-gates.cu:244-249)."""
+    return lwe_negate(x)
+
+
+def COPY(x: LweCiphertext, cloud=None) -> LweCiphertext:
+    return LweCiphertext(x.a, x.b, x.cv)
+
+
+def CONSTANT(value, n: int, batch_shape=()) -> LweCiphertext:
+    """Trivial ciphertext of a boolean constant (ref boot-gates.cu:265-270)."""
+    value = jnp.asarray(value, jnp.int32)
+    mu = jnp.where(value != 0, jnp.int32(_1_8), jnp.int32(-_1_8))
+    return noiseless_trivial(mu, n, batch_shape)
+
+
+def MUX(a: LweCiphertext, b: LweCiphertext, c: LweCiphertext, cloud) -> LweCiphertext:
+    """a ? b : c with two bootstraps batched as ONE kernel + one key switch
+    (ref bootsMUX, boot-gates.cu:403-448; fused GPU variant :2631-2843)."""
+    af, shape = _flatten(a)
+    bf, _ = _flatten(b)
+    cf, _ = _flatten(c)
+    B = af.b.shape[0]
+    # AND(a, b) image and AND(not a, c) image
+    t1 = _affine2(af, bf, jnp.int32(-_1_8), jnp.int32(1), jnp.int32(1))
+    t2 = _affine2(af, cf, jnp.int32(-_1_8), jnp.int32(-1), jnp.int32(1))
+    t = lwe_concat([t1, t2], axis=0)
+    a_ext, b_ext, cv = _bootstrap_woks_flat(t, cloud)
+    # temp = (0, 1/8) + u1 + u2 over the extracted params, then one key switch
+    a_sum = a_ext[:B] + a_ext[B:]
+    b_sum = jnp.int32(_1_8) + b_ext[:B] + b_ext[B:]
+    cv_sum = cv[:B] + cv[B:]
+    out = _keyswitch_flat(a_sum, b_sum, cv_sum, cloud)
+    return out.reshape(shape)
