@@ -1,0 +1,107 @@
+"""Integer arithmetic circuits vs plain int semantics (toy params, 4-bit)."""
+import numpy as np
+import pytest
+
+import tfhe_tpu as tt
+from tfhe_tpu import arith
+
+NB = 4
+MASK = (1 << NB) - 1
+
+
+def _signed(v):
+    v = v & MASK
+    return v - (1 << NB) if v & (1 << (NB - 1)) else v
+
+
+def test_add_ripple(toy_keys):
+    sk = toy_keys
+    a = np.array([3, 7, -8, 5, 0], np.int64)
+    b = np.array([2, 1, 3, -5, 0], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=21)
+    cb = arith.encrypt_int(sk, b, NB, seed=22)
+    out = arith.decrypt_int(sk, arith.add(ca, cb, sk.cloud))
+    want = np.array([_signed(x + y) for x, y in zip(a, b)])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_add_numberwise(toy_keys):
+    sk = toy_keys
+    a = np.array([3, 6], np.int64)
+    b = np.array([4, 7], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=23)
+    cb = arith.encrypt_int(sk, b, NB, seed=24)
+    out = arith.decrypt_int(sk, arith.add_numberwise(ca, cb, sk.cloud))
+    want = np.array([_signed(x + y) for x, y in zip(a, b)])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_sub_and_neg(toy_keys):
+    sk = toy_keys
+    a = np.array([5, 2], np.int64)
+    b = np.array([3, 7], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=25)
+    cb = arith.encrypt_int(sk, b, NB, seed=26)
+    out = arith.decrypt_int(sk, arith.sub(ca, cb, sk.cloud))
+    np.testing.assert_array_equal(out, [_signed(x - y) for x, y in zip(a, b)])
+    neg = arith.decrypt_int(sk, arith.twos_complement(ca, sk.cloud))
+    np.testing.assert_array_equal(neg, [_signed(-x) for x in a])
+
+
+def test_mul(toy_keys):
+    sk = toy_keys
+    a = np.array([3, 5], np.int64)
+    b = np.array([2, 3], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=27)
+    cb = arith.encrypt_int(sk, b, NB, seed=28)
+    out = arith.decrypt_int(sk, arith.mul(ca, cb, sk.cloud))
+    np.testing.assert_array_equal(out, [_signed(x * y) for x, y in zip(a, b)])
+
+
+def test_comparisons(toy_keys):
+    sk = toy_keys
+    a = np.array([3, -2, 5, 4], np.int64)
+    b = np.array([2, 4, 5, 7], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=29)
+    cb = arith.encrypt_int(sk, b, NB, seed=30)
+    gt = tt.decrypt_bits(sk, arith.gt(ca, cb, sk.cloud))
+    np.testing.assert_array_equal(gt, (a > b).astype(np.int32))
+    le = tt.decrypt_bits(sk, arith.le(ca, cb, sk.cloud))
+    np.testing.assert_array_equal(le, (a <= b).astype(np.int32))
+    eqr = tt.decrypt_bits(sk, arith.eq(ca, cb, sk.cloud))
+    np.testing.assert_array_equal(eqr, (a == b).astype(np.int32))
+
+
+def test_abs_min(toy_keys):
+    sk = toy_keys
+    a = np.array([-3, 4], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=31)
+    out = arith.decrypt_int(sk, arith.absolute(ca, sk.cloud))
+    np.testing.assert_array_equal(out, np.abs(a))
+    b = np.array([2, 6], np.int64)
+    cb = arith.encrypt_int(sk, b, NB, seed=32)
+    mn = arith.decrypt_int(sk, arith.minimum(
+        arith.encrypt_int(sk, np.abs(a), NB, seed=33), cb, sk.cloud))
+    np.testing.assert_array_equal(mn, np.minimum(np.abs(a), b))
+
+
+@pytest.mark.slow
+def test_div(toy_keys):
+    sk = toy_keys
+    a = np.array([6, -7], np.int64)
+    b = np.array([2, 3], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=34)
+    cb = arith.encrypt_int(sk, b, NB, seed=35)
+    out = arith.decrypt_int(sk, arith.div(ca, cb, sk.cloud))
+    want = np.array([int(x / y) for x, y in zip(a, b)])  # trunc toward zero
+    np.testing.assert_array_equal(out, want)
+
+
+def test_shifts(toy_keys):
+    sk = toy_keys
+    a = np.array([3, -4], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=36)
+    ls = arith.decrypt_int(sk, arith.left_shift(ca, 1))
+    np.testing.assert_array_equal(ls, [_signed(x << 1) for x in a])
+    rs = arith.decrypt_int(sk, arith.right_shift_arith(ca, 1))
+    np.testing.assert_array_equal(rs, [x >> 1 for x in a])

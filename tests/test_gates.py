@@ -1,0 +1,72 @@
+"""Exhaustive truth-table tests for all gates (toy params, deterministic)."""
+import numpy as np
+import pytest
+
+import tfhe_tpu as tt
+from tfhe_tpu import gates
+
+TRUTH = {
+    "AND":   lambda a, b: a & b,
+    "OR":    lambda a, b: a | b,
+    "NAND":  lambda a, b: 1 - (a & b),
+    "NOR":   lambda a, b: 1 - (a | b),
+    "XOR":   lambda a, b: a ^ b,
+    "XNOR":  lambda a, b: 1 - (a ^ b),
+    "ANDNY": lambda a, b: (1 - a) & b,
+    "ANDYN": lambda a, b: a & (1 - b),
+    "ORNY":  lambda a, b: (1 - a) | b,
+    "ORYN":  lambda a, b: a | (1 - b),
+}
+
+A = np.array([0, 0, 1, 1], np.int32)
+B = np.array([0, 1, 0, 1], np.int32)
+
+
+def test_all_two_input_gates(toy_keys):
+    sk = toy_keys
+    ca = tt.encrypt_bits(sk, A, seed=3)
+    cb = tt.encrypt_bits(sk, B, seed=4)
+    for name, fn in TRUTH.items():
+        out = gates.gate2(name, ca, cb, sk.cloud)
+        got = tt.decrypt_bits(sk, out)
+        want = fn(A, B)
+        np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+def test_compound_gate_pair(toy_keys):
+    sk = toy_keys
+    ca = tt.encrypt_bits(sk, A, seed=5)
+    cb = tt.encrypt_bits(sk, B, seed=6)
+    out_and, out_xor = gates.gate2_pair("AND", "XOR", ca, cb, ca, cb, sk.cloud)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, out_and), A & B)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, out_xor), A ^ B)
+
+
+def test_not_copy_constant(toy_keys):
+    sk = toy_keys
+    ca = tt.encrypt_bits(sk, A, seed=7)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, gates.NOT(ca)), 1 - A)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, gates.COPY(ca)), A)
+    const = gates.CONSTANT(np.array([1, 0, 1, 0], np.int32), sk.params.n, (4,))
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, const), [1, 0, 1, 0])
+
+
+def test_mux_exhaustive(toy_keys):
+    sk = toy_keys
+    a = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.int32)
+    b = np.array([0, 0, 1, 1, 0, 0, 1, 1], np.int32)
+    c = np.array([0, 1, 0, 1, 0, 1, 0, 1], np.int32)
+    ca = tt.encrypt_bits(sk, a, seed=8)
+    cb = tt.encrypt_bits(sk, b, seed=9)
+    cc = tt.encrypt_bits(sk, c, seed=10)
+    out = gates.MUX(ca, cb, cc, sk.cloud)
+    want = np.where(a != 0, b, c)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, out), want)
+
+
+def test_gate_batch_shapes(toy_keys):
+    sk = toy_keys
+    a = np.array([[0, 1], [1, 1]], np.int32)
+    b = np.array([[1, 1], [0, 1]], np.int32)
+    out = gates.AND(tt.encrypt_bits(sk, a, seed=11), tt.encrypt_bits(sk, b, seed=12), sk.cloud)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, out), a & b)

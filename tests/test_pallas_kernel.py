@@ -1,0 +1,68 @@
+"""Pallas fused-kernel correctness in interpreter mode (runs on CPU).
+
+The real-hardware differential check (Pallas vs XLA paths on TPU) runs in
+tools/verify_pallas_tpu.py; these tests validate the same kernels through the
+Pallas interpreter so CI without a TPU still covers the kernel math.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfhe_tpu import ntt
+from tfhe_tpu.params import PARAMS_TOY
+from tfhe_tpu.core import bootstrap as bs
+from tfhe_tpu.ops import cmux_pallas as cp
+
+
+def _bk_rows(bk, bksh, params):
+    N, kpl, k = params.N, params.kpl, params.k
+    r = bk.transpose(0, 3, 1, 2).reshape(2, N, kpl * (k + 1))
+    rs = bksh.transpose(0, 3, 1, 2).reshape(2, N, kpl * (k + 1))
+    return jnp.asarray(r), jnp.asarray(rs)
+
+
+@pytest.fixture(scope="module")
+def rand_bk():
+    params = PARAMS_TOY
+    rng = np.random.RandomState(3)
+    bk = np.stack([rng.randint(0, p, size=(params.kpl, params.k + 1, params.N),
+                               dtype=np.int64).astype(np.uint32) for p in ntt.PRIMES])
+    bksh = np.stack([ntt.shoup(bk[i], p) for i, p in enumerate(ntt.PRIMES)])
+    return bk, bksh
+
+
+def test_cmux_delta_matches_xla(rand_bk):
+    params = PARAMS_TOY
+    N, kpl, k, B = params.N, params.kpl, params.k, 8
+    rng = np.random.RandomState(4)
+    dec = rng.randint(-params.halfBg, params.halfBg, size=(B, kpl, N)).astype(np.int32)
+    bk, bksh = rand_bk
+    want = np.asarray(jax.jit(
+        lambda d, w, ws: bs.extern_product_ntt(d, w, ws, params)
+    )(jnp.asarray(dec), jnp.asarray(bk), jnp.asarray(bksh)))
+    bkr, bkrs = _bk_rows(bk, bksh, params)
+    got = cp.cmux_delta(jnp.asarray(dec.transpose(1, 2, 0)), bkr, bkrs,
+                        params, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got).transpose(2, 0, 1), want)
+
+
+def test_blind_rotate_step_matches_xla(rand_bk):
+    params = PARAMS_TOY
+    N, k, B = params.N, params.k, 8
+    rng = np.random.RandomState(5)
+    acc = rng.randint(-(2 ** 31), 2 ** 31, size=(B, k + 1, N)).astype(np.int32)
+    bara = rng.randint(0, 2 * N, size=(B,)).astype(np.int32)
+    bk, bksh = rand_bk
+
+    # XLA single step
+    rot = bs.negacyclic_rotate(jnp.asarray(acc), jnp.asarray(bara))
+    dec = bs.gadget_decompose(rot - jnp.asarray(acc), params)
+    delta = bs.extern_product_ntt(dec, jnp.asarray(bk), jnp.asarray(bksh), params)
+    want = np.asarray(jnp.asarray(acc) + delta)
+
+    bkr, bkrs = _bk_rows(bk, bksh, params)
+    got = cp.blind_rotate_step(
+        jnp.asarray(acc.transpose(1, 2, 0)), jnp.asarray(bara)[None, :],
+        bkr, bkrs, params, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got).transpose(2, 0, 1), want)

@@ -76,27 +76,51 @@ def extern_product_ntt(dec: jnp.ndarray, bk_j: jnp.ndarray, bk_sh_j: jnp.ndarray
 
     dec: int32[B, kpl, N]; bk_j/bk_sh_j: uint32[n_primes, kpl, k+1, N] (NTT domain).
     Returns int32[B, k+1, N]. (ref tGswFFTExternMulToTLwe, tgsw-fft-operations.cu:124-265)
+
+    TPU layout note: the transforms run in row-major layout [kpl, N, B] (the
+    polynomial along the sublane axis, batch along lanes) so every butterfly is
+    a static major-axis slice and no lane-crossing data movement happens.
     """
-    N = params.N
+    N, kpl, k = params.N, params.kpl, params.k
+    dec_t = dec.transpose(1, 2, 0)                           # [kpl, N, B]
     residues = []
     for pi, p in enumerate(ntt.PRIMES):
-        d = ntt.small_to_residue(dec, p)                     # [B, kpl, N]
-        dhat = ntt.ntt_forward(d, N, p)
-        prod = ntt.mul_mod_shoup(
-            dhat[:, :, None, :], bk_j[pi][None], bk_sh_j[pi][None], p
-        )                                                    # [B, kpl, k+1, N]
-        # fold rows with modular adds (kpl is small and static)
-        s = prod[:, 0]
-        for r in range(1, params.kpl):
-            s = ntt.add_mod(s, prod[:, r], p)
-        residues.append(ntt.ntt_inverse(s, N, p))            # [B, k+1, N]
-    return ntt.crt_to_i32(residues[0], residues[1])
+        d = ntt.small_to_residue(dec_t, p)
+        dhat = ntt.ntt_forward_rows(d, N, p)                 # [kpl, N, B]
+        w = bk_j[pi].transpose(0, 2, 1)                      # [kpl, N, k+1]
+        wsh = bk_sh_j[pi].transpose(0, 2, 1)
+        outs = []
+        for c in range(k + 1):
+            s = ntt.mul_mod_shoup(dhat[0], w[0, :, c, None], wsh[0, :, c, None], p)
+            for r in range(1, kpl):
+                s = ntt.add_mod(
+                    s, ntt.mul_mod_shoup(dhat[r], w[r, :, c, None], wsh[r, :, c, None], p), p)
+            outs.append(s)
+        prod = jnp.stack(outs, axis=0)                       # [k+1, N, B]
+        residues.append(ntt.ntt_inverse_rows(prod, N, p))
+    delta_t = ntt.crt_to_i32(residues[0], residues[1])       # [k+1, N, B]
+    return delta_t.transpose(2, 0, 1)                        # [B, k+1, N]
+
+
+def use_pallas() -> bool:
+    """Fused Pallas kernels on TPU; pure-XLA path elsewhere (tests on CPU).
+    Override with TFHE_TPU_PALLAS=0/1."""
+    import os
+    v = os.environ.get("TFHE_TPU_PALLAS", "auto")
+    if v in ("0", "false"):
+        return False
+    if v in ("1", "true"):
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def blind_rotate(acc: jnp.ndarray, bara: jnp.ndarray, bk_ntt: jnp.ndarray,
                  bk_shoup: jnp.ndarray, params: TfheParams) -> jnp.ndarray:
     """CMux chain over the n LWE key bits (ref tfhe_blindRotate + the fused loop
-    boot-gates.cu:2543-2583). acc: int32[B, k+1, N]; bara: int32[B, n]."""
+    boot-gates.cu:2543-2583). acc: int32[B, k+1, N]; bara: int32[B, n].
+
+    Pure-XLA path (reference semantics; used on CPU and as the differential
+    check for the fused Pallas path)."""
 
     def step(acc, xs):
         bk_j, bk_sh_j, bara_j = xs
@@ -109,6 +133,25 @@ def blind_rotate(acc: jnp.ndarray, bara: jnp.ndarray, bk_ntt: jnp.ndarray,
 
     acc, _ = jax.lax.scan(step, acc, (bk_ntt, bk_shoup, bara.T))
     return acc
+
+
+def blind_rotate_pallas(acc: jnp.ndarray, bara: jnp.ndarray, cloud,
+                        params: TfheParams) -> jnp.ndarray:
+    """Fused-kernel CMux chain: one Pallas call per iteration, accumulator
+    kept in the row-major [k+1, N, B] layout for the whole scan."""
+    from ..ops import cmux_pallas
+
+    acc_t = acc.transpose(1, 2, 0)
+
+    def step(carry, xs):
+        bk_j, bksh_j, bara_j = xs
+        new = cmux_pallas.blind_rotate_step(
+            carry, bara_j[None, :], bk_j, bksh_j, params)
+        return new, None
+
+    acc_t, _ = jax.lax.scan(
+        step, acc_t, (cloud.bk_rows, cloud.bk_rows_shoup, bara.T))
+    return acc_t.transpose(2, 0, 1)
 
 
 def sample_extract(acc: jnp.ndarray, params: TfheParams):
@@ -185,7 +228,10 @@ def bootstrap_woks(x: LweCiphertext, mu, cloud) -> tuple:
     acc = jnp.concatenate(
         [jnp.zeros((B, k, N), jnp.int32), tvb[:, None, :]], axis=1
     )
-    acc = blind_rotate(acc, bara, cloud.bk_ntt, cloud.bk_ntt_shoup, params)
+    if use_pallas():
+        acc = blind_rotate_pallas(acc, bara, cloud, params)
+    else:
+        acc = blind_rotate(acc, bara, cloud.bk_ntt, cloud.bk_ntt_shoup, params)
     a_ext, b_ext = sample_extract(acc, params)
     cv = jnp.full((B,), _bootstrap_variance(params), jnp.float32)
     return a_ext, b_ext, cv

@@ -42,6 +42,10 @@ class CloudKey:
     # bootstrapping key in NTT domain: uint32[n, n_primes, kpl, k+1, N]
     bk_ntt: jnp.ndarray
     bk_ntt_shoup: jnp.ndarray
+    # row-major view for the fused Pallas kernel: uint32[n, n_primes, N, kpl*(k+1)]
+    # (per-(l,c) columns along the sublane axis; see ops/cmux_pallas.py)
+    bk_rows: jnp.ndarray
+    bk_rows_shoup: jnp.ndarray
     # key-switch table, int8 limb planes: [rows, n_limbs * pad_cols] where
     # rows = n_extract * t * (base-1) (C-order over (i, j, h-1)) and
     # column block l holds limb l of [a[0..n-1], b, 0-pad...].
@@ -53,8 +57,17 @@ class CloudKey:
 
 
 jax.tree_util.register_dataclass(
-    CloudKey, data_fields=("bk_ntt", "bk_ntt_shoup", "ks_table"), meta_fields=("params",)
+    CloudKey,
+    data_fields=("bk_ntt", "bk_ntt_shoup", "bk_rows", "bk_rows_shoup", "ks_table"),
+    meta_fields=("params",),
 )
+
+
+def bk_rows_layout(bk_ntt: np.ndarray) -> np.ndarray:
+    """[n, P, kpl, k+1, N] -> [n, P, N, kpl*(k+1)] (sublane-column layout)."""
+    n, P, kpl, k1, N = bk_ntt.shape
+    return np.ascontiguousarray(
+        bk_ntt.transpose(0, 1, 4, 2, 3).reshape(n, P, N, kpl * k1))
 
 
 @dataclass
@@ -223,6 +236,8 @@ def keygen(params: TfheParams, seed=(314, 1592, 657)) -> SecretKeySet:
         params=params,
         bk_ntt=jnp.asarray(bk_ntt),
         bk_ntt_shoup=jnp.asarray(bk_shoup),
+        bk_rows=jnp.asarray(bk_rows_layout(bk_ntt)),
+        bk_rows_shoup=jnp.asarray(bk_rows_layout(bk_shoup)),
         ks_table=jnp.asarray(ks_table),
     )
     return SecretKeySet(

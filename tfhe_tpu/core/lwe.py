@@ -33,7 +33,12 @@ class LweCiphertext:
         return self.a.shape[-1]
 
     def __getitem__(self, idx) -> "LweCiphertext":
-        return LweCiphertext(self.a[idx], self.b[idx], self.cv[idx])
+        """Index the batch shape. Ellipsis/negative axes refer to batch dims;
+        the trailing LWE dimension of `a` is preserved."""
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        a_idx = idx + (slice(None),) if any(i is Ellipsis for i in idx) else idx
+        return LweCiphertext(self.a[a_idx], self.b[idx], self.cv[idx])
 
     def reshape(self, *batch_shape) -> "LweCiphertext":
         if len(batch_shape) == 1 and isinstance(batch_shape[0], (tuple, list)):
@@ -51,9 +56,13 @@ jax.tree_util.register_dataclass(
 
 
 def lwe_stack(cts, axis: int = 0) -> LweCiphertext:
-    """Stack a list of ciphertext batches along a new batch axis."""
+    """Stack a list of ciphertext batches along a new batch axis.
+
+    `axis` indexes the batch shape; negative axes count from the end of the
+    batch shape (the `a` array has an extra trailing LWE dimension)."""
+    a_axis = axis if axis >= 0 else axis - 1
     return LweCiphertext(
-        jnp.stack([c.a for c in cts], axis=axis),
+        jnp.stack([c.a for c in cts], axis=a_axis),
         jnp.stack([c.b for c in cts], axis=axis),
         jnp.stack([c.cv for c in cts], axis=axis),
     )

@@ -1,0 +1,107 @@
+"""Encrypted vector and matrix operations.
+
+Ports the reference's L7 vector/matrix layer (`gpuParallel/main.cu:1033-1355,
+2223-2644`, `matrixUtility.cu`) to batched circuits. Because every arith
+circuit already accepts leading batch axes, "vector" ops are the same circuits
+with batch = vector length (the reference's `_vector` kernels), and matrix ops
+are reshapes + one big batch.
+
+Shapes: an encrypted vector of L n-bit numbers is an LweCiphertext with batch
+shape [L, nbits]; a matrix is [R, C, nbits].
+"""
+from __future__ import annotations
+
+from . import arith, gates
+from .core.lwe import LweCiphertext, lwe_stack
+
+
+def vector_add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Elementwise vector addition (ref BOOTS_vectorAddition, main.cu:1304-1355)."""
+    return arith.add(a, b, cloud)
+
+
+def vector_mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Elementwise vector multiplication (ref BOOTS_vectorMultiplication,
+    main.cu:1746-1865): all L*nbits^2 partial-product ANDs in one bootstrap."""
+    return arith.mul(a, b, cloud)
+
+
+def vector_sum(v: LweCiphertext, cloud) -> LweCiphertext:
+    """Sum of a vector of numbers by pairwise log-tree reduction
+    (ref BOOTS_Add_vector, main.cu:1033-1136). v: [..., L, nbits] -> [..., nbits]."""
+    L = v.batch_shape[-2]
+    rows = [v[..., i, :] for i in range(L)]
+    while len(rows) > 1:
+        half = len(rows) // 2
+        lhs = lwe_stack(rows[:half], axis=-2)
+        rhs = lwe_stack(rows[half:2 * half], axis=-2)
+        summed = arith.add(lhs, rhs, cloud)
+        nxt = [summed[..., i, :] for i in range(half)]
+        if len(rows) % 2:
+            nxt.append(rows[-1])
+        rows = nxt
+    return rows[0]
+
+
+def matrix_add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Elementwise matrix addition (ref BOOTS_matrixAddition, main.cu:2223-2275)."""
+    return arith.add(a, b, cloud)
+
+
+def matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Matrix multiply: ALL r*c2*c element products as one batched multiply,
+    then a log-tree add over the contraction axis
+    (ref BOOTS_matrixMultiplication, main.cu:2342-2462 with the
+    matMul_prepareLeftMat/RightMat duplication, matrixUtility.cu:65-96).
+
+    a: [R, K, nbits]; b: [K, C, nbits] -> [R, C, nbits].
+    """
+    R, K = a.batch_shape[0], a.batch_shape[1]
+    C = b.batch_shape[1]
+    # left[i, j, k] = a[i, k]; right[i, j, k] = b[k, j]
+    a_exp = lwe_stack([a] * C, axis=1)            # [R, C, K, nbits]
+    b_t = lwe_stack([b[:, j] for j in range(C)], axis=0)   # [C, K, nbits]
+    b_exp = lwe_stack([b_t] * R, axis=0)          # [R, C, K, nbits]
+    prods = arith.mul(a_exp, b_exp, cloud)        # [R, C, K, nbits]
+    return vector_sum(prods, cloud)               # tree over K
+
+
+def cannon_matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Cannon's algorithm over the element grid (ref BOOTS_CannonsAlgo,
+    main.cu:2590-2644 with leftRotate/upRotate :2531-2557): pre-skew, then D
+    rounds of elementwise multiply + accumulate + neighbor rotations.
+
+    Single-chip version (rotations are array rolls); the mesh version with ICI
+    ppermute lives in tfhe_tpu.parallel.cannon. a, b: [D, D, nbits].
+    """
+    import jax.numpy as jnp
+    D = a.batch_shape[0]
+
+    def roll_rows(x: LweCiphertext, shifts_per_row):
+        rows = []
+        for i in range(D):
+            rows.append(LweCiphertext(
+                jnp.roll(x.a[i], -shifts_per_row(i), axis=0),
+                jnp.roll(x.b[i], -shifts_per_row(i), axis=0),
+                jnp.roll(x.cv[i], -shifts_per_row(i), axis=0)))
+        return lwe_stack(rows, axis=0)
+
+    def roll_cols(x: LweCiphertext, shifts_per_col):
+        cols = []
+        for j in range(D):
+            cols.append(LweCiphertext(
+                jnp.roll(x.a[:, j], -shifts_per_col(j), axis=0),
+                jnp.roll(x.b[:, j], -shifts_per_col(j), axis=0),
+                jnp.roll(x.cv[:, j], -shifts_per_col(j), axis=0)))
+        return lwe_stack(cols, axis=1)
+
+    # initial skew: row i of A left-rotated by i, col j of B up-rotated by j
+    a_sk = roll_rows(a, lambda i: i)
+    b_sk = roll_cols(b, lambda j: j)
+    acc = None
+    for _ in range(D):
+        prod = arith.mul(a_sk, b_sk, cloud)       # [D, D, nbits] elementwise
+        acc = prod if acc is None else arith.add(acc, prod, cloud)
+        a_sk = roll_rows(a_sk, lambda i: 1)
+        b_sk = roll_cols(b_sk, lambda j: 1)
+    return acc

@@ -222,6 +222,70 @@ def ntt_inverse(x, N: int, p: int):
 
 
 # --------------------------------------------------------------------------
+# Row-major transforms (transform axis = -2, lanes = batch)
+#
+# TPU-native layout: butterflies slice the MAJOR (sublane) axis only, so no
+# lane-crossing data movement ever happens; the minor (lane) axis carries the
+# batch. This is the layout used by the fused bootstrap kernel.
+# --------------------------------------------------------------------------
+
+def ntt_forward_rows(x, N: int, p: int):
+    """Forward negacyclic NTT along axis -2. x: uint32[..., N, L] in [0, p).
+    Output bit-reversed along axis -2."""
+    tabs = ntt_tables(N, p)
+    psi = tabs["psi_br"]
+    psi_sh = tabs["psi_br_shoup"]
+    lead = x.shape[:-2]
+    L = x.shape[-1]
+    nb = len(lead)
+    m, t = 1, N
+    while m < N:
+        t //= 2
+        xr = x.reshape(lead + (m, 2, t, L))
+        u = xr[..., 0, :, :]
+        v = xr[..., 1, :, :]
+        s = jnp.asarray(psi[m:2 * m]).reshape((1,) * nb + (m, 1, 1))
+        s_sh = jnp.asarray(psi_sh[m:2 * m]).reshape((1,) * nb + (m, 1, 1))
+        wv = mul_mod_shoup(v, s, s_sh, p)
+        x = jnp.stack([add_mod(u, wv, p), sub_mod(u, wv, p)], axis=-3)
+        x = x.reshape(lead + (N, L))
+        m *= 2
+    return x
+
+
+def ntt_inverse_rows(x, N: int, p: int):
+    """Inverse of ntt_forward_rows (input bit-reversed along -2, output natural)."""
+    tabs = ntt_tables(N, p)
+    ipsi = tabs["ipsi_br"]
+    ipsi_sh = tabs["ipsi_br_shoup"]
+    lead = x.shape[:-2]
+    L = x.shape[-1]
+    nb = len(lead)
+    t, m = 1, N
+    while m > 2:
+        h = m // 2
+        xr = x.reshape(lead + (h, 2, t, L))
+        u = xr[..., 0, :, :]
+        v = xr[..., 1, :, :]
+        s = jnp.asarray(ipsi[h:2 * h]).reshape((1,) * nb + (h, 1, 1))
+        s_sh = jnp.asarray(ipsi_sh[h:2 * h]).reshape((1,) * nb + (h, 1, 1))
+        x = jnp.stack(
+            [add_mod(u, v, p), mul_mod_shoup(sub_mod(u, v, p), s, s_sh, p)],
+            axis=-3,
+        ).reshape(lead + (N, L))
+        t *= 2
+        m = h
+    xr = x.reshape(lead + (1, 2, N // 2, L))
+    u = xr[..., 0, :, :]
+    v = xr[..., 1, :, :]
+    lo = mul_mod_shoup(add_mod(u, v, p), jnp.uint32(tabs["n_inv"]),
+                       jnp.uint32(tabs["n_inv_shoup"]), p)
+    hi = mul_mod_shoup(sub_mod(u, v, p), jnp.uint32(tabs["ipsi1_ninv"]),
+                       jnp.uint32(tabs["ipsi1_ninv_shoup"]), p)
+    return jnp.concatenate([lo, hi], axis=-2).reshape(lead + (N, L))
+
+
+# --------------------------------------------------------------------------
 # CRT recombination to Torus32
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,350 @@
+"""Fused CMux external-product Pallas kernel — the hot inner loop of bootstrapping.
+
+One kernel invocation computes, entirely in VMEM:
+
+    delta = sum_l NTT^-1( NTT(decomposed_l) * bk_hat[l, c] )   (exact, 2 CRT primes)
+
+replacing the reference's per-iteration sequence of 3 CUDA kernels + 2 batched
+cuFFT launches (`boot-gates.cu:2543-2583`: prepareForiFFT_n_Bit, cufftExecD2Z,
+prepareForFFT_n_Bit, cufftExecZ2D, finishUpFFT_n_Bit). The XLA version of the
+same math materializes every butterfly stage to HBM (~4 GB per 500-iteration
+loop at batch 128); this kernel keeps all intermediates on-chip.
+
+Layout (see ntt.ntt_forward_rows): polynomials along the SUBLANE axis, batch
+along LANES. Butterfly stages come in three TPU-friendly flavors:
+  - m < 8 groups: static contiguous slices with scalar-literal twiddles,
+  - 8 <= m, t >= 8: major-axis reshape + sublane twiddle-column broadcast,
+  - t < 8: full-width multiply by an identity-padded twiddle column, pairing
+    via two static sublane rolls + select (no sub-tile reshapes at all).
+The bootstrapping key is pre-transposed at keygen to [n, P, N, kpl*(k+1)] so
+its per-(l,c) columns are width-1 lane slices broadcast across the batch.
+
+All arithmetic is uint32 with wraparound; Shoup multiplication via 16x16-bit
+high products. Exact integer math — no transform noise.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import ntt
+from ..params import TfheParams
+
+_SMALL_M = 8   # below this group count: scalar-literal stage
+_SMALL_T = 8   # below this half-group size: roll-select stage
+
+
+def _umulhi(a, b):
+    u16 = jnp.uint32(0xFFFF)
+    a0 = a & u16
+    a1 = a >> 16
+    b0 = b & u16
+    b1 = b >> 16
+    t = a1 * b0 + ((a0 * b0) >> 16)
+    t2 = a0 * b1 + (t & u16)
+    return a1 * b1 + (t >> 16) + (t2 >> 16)
+
+
+def _shoup(x, w, w_sh, p):
+    q = _umulhi(x, w_sh)
+    r = x * w - q * jnp.uint32(p)
+    return r - jnp.uint32(p) * (r >= jnp.uint32(p))
+
+
+def _addm(a, b, p):
+    s = a + b
+    return s - jnp.uint32(p) * (s >= jnp.uint32(p))
+
+
+def _subm(a, b, p):
+    return a - b + jnp.uint32(p) * (a < b)
+
+
+def _stage_roll(x, tw_col, tw_sh_col, t, p, N):
+    """Butterfly stage with half-group size t via full-width twiddle multiply
+    (identity at U rows) + two static sublane rolls + select."""
+    wv = _shoup(x, tw_col, tw_sh_col, p)
+    wv_up = pltpu.roll(wv, N - t, axis=1)  # wv_up[j] = wv[j+t]
+    x_dn = pltpu.roll(x, t, axis=1)        # x_dn[j] = x[j-t]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    mask_u = (iota // t) % 2 == 0
+    return jnp.where(mask_u, _addm(x, wv_up, p), _subm(x_dn, wv, p))
+
+
+def _fwd_rows(x, psi_col, psi_sh_col, roll_cols, psi_np, psi_sh_np, N, p):
+    """Forward negacyclic NTT along axis -2 of [R, N, L]."""
+    R, _, L = x.shape
+    m, t = 1, N
+    while m < N:
+        t //= 2
+        if m < _SMALL_M:
+            outs = []
+            for i in range(m):
+                u = x[:, 2 * i * t:(2 * i + 1) * t]
+                v = x[:, (2 * i + 1) * t:(2 * i + 2) * t]
+                wv = _shoup(v, jnp.uint32(int(psi_np[m + i])),
+                            jnp.uint32(int(psi_sh_np[m + i])), p)
+                outs.append(_addm(u, wv, p))
+                outs.append(_subm(u, wv, p))
+            x = jnp.concatenate(outs, axis=1)
+        elif t >= _SMALL_T:
+            xr = x.reshape(R, m, 2, t, L)
+            u = xr[:, :, 0]
+            v = xr[:, :, 1]
+            s = psi_col[m:2 * m].reshape(1, m, 1, 1)
+            s_sh = psi_sh_col[m:2 * m].reshape(1, m, 1, 1)
+            wv = _shoup(v, s, s_sh, p)
+            x = jnp.stack([_addm(u, wv, p), _subm(u, wv, p)], axis=2).reshape(R, N, L)
+        else:
+            tw_col, tw_sh_col = roll_cols[t]
+            x = _stage_roll(x, tw_col, tw_sh_col, t, p, N)
+        m *= 2
+    return x
+
+
+def _inv_rows(x, ipsi_col, ipsi_sh_col, roll_cols, ipsi_np, ipsi_sh_np,
+              ninv_consts, N, p):
+    R, _, L = x.shape
+    n_inv, n_inv_sh, ip1, ip1_sh = ninv_consts
+    t, m = 1, N
+    while m > 2:
+        h = m // 2
+        if h < _SMALL_M:
+            outs = []
+            for i in range(h):
+                u = x[:, 2 * i * t:(2 * i + 1) * t]
+                v = x[:, (2 * i + 1) * t:(2 * i + 2) * t]
+                outs.append(_addm(u, v, p))
+                outs.append(_shoup(_subm(u, v, p), jnp.uint32(int(ipsi_np[h + i])),
+                                   jnp.uint32(int(ipsi_sh_np[h + i])), p))
+            x = jnp.concatenate(outs, axis=1)
+        elif t >= _SMALL_T:
+            xr = x.reshape(R, h, 2, t, L)
+            u = xr[:, :, 0]
+            v = xr[:, :, 1]
+            s = ipsi_col[h:2 * h].reshape(1, h, 1, 1)
+            s_sh = ipsi_sh_col[h:2 * h].reshape(1, h, 1, 1)
+            x = jnp.stack(
+                [_addm(u, v, p), _shoup(_subm(u, v, p), s, s_sh, p)], axis=2
+            ).reshape(R, N, L)
+        else:
+            # inverse butterfly: u' = u + v; v' = (u - v) * s
+            # via full-width ops: y[j](U) = x[j] + x[j+t]; y[j+t](V) = (x[j]-x[j+t])*s
+            tw_col, tw_sh_col = roll_cols[t]
+            x_up = pltpu.roll(x, N - t, axis=1)  # x_up[j] = x[j+t]
+            x_dn = pltpu.roll(x, t, axis=1)    # x_dn[j] = x[j-t]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+            mask_u = (iota // t) % 2 == 0
+            summed = _addm(x, x_up, p)
+            diffed = _shoup(_subm(x_dn, x, p), tw_col, tw_sh_col, p)
+            x = jnp.where(mask_u, summed, diffed)
+        t *= 2
+        m = h
+    u = x[:, : N // 2]
+    v = x[:, N // 2:]
+    lo = _shoup(_addm(u, v, p), jnp.uint32(n_inv), jnp.uint32(n_inv_sh), p)
+    hi = _shoup(_subm(u, v, p), jnp.uint32(ip1), jnp.uint32(ip1_sh), p)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _roll_stage_list(N: int):
+    """(direction, t) pairs that use the roll-select stage."""
+    fwd, inv = [], []
+    m, t = 1, N
+    while m < N:
+        t //= 2
+        if m >= _SMALL_M and t < _SMALL_T:
+            fwd.append(t)
+        m *= 2
+    t, m = 1, N
+    while m > 2:
+        h = m // 2
+        if h >= _SMALL_M and t < _SMALL_T:
+            inv.append(t)
+        t *= 2
+        m = h
+    return fwd, inv
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_stack(N: int):
+    """uint32[P, N, C] twiddle columns.
+
+    cols 0..3: psi_br, psi_br_shoup, ipsi_br, ipsi_br_shoup (vector stages).
+    Then, for each roll-select stage, an identity-padded full column + shoup:
+    TW[j] = table[m + j // (2t)] at V rows ((j // t) odd), else 1.
+    """
+    fwd_ts, inv_ts = _roll_stage_list(N)
+    cols_per_prime = []
+    for p in ntt.PRIMES:
+        tabs = ntt.ntt_tables(N, p)
+        cols = [tabs["psi_br"], tabs["psi_br_shoup"],
+                tabs["ipsi_br"], tabs["ipsi_br_shoup"]]
+        j = np.arange(N)
+        for t in fwd_ts:
+            m = N // (2 * t)
+            tw = np.where((j // t) % 2 == 1, tabs["psi_br"][m + j // (2 * t)], 1).astype(np.uint32)
+            cols.append(tw)
+            cols.append(ntt.shoup(tw, p))
+        for t in inv_ts:
+            h = N // (2 * t)
+            tw = np.where((j // t) % 2 == 1, tabs["ipsi_br"][h + j // (2 * t)], 1).astype(np.uint32)
+            cols.append(tw)
+            cols.append(ntt.shoup(tw, p))
+        cols_per_prime.append(np.stack(cols, axis=1))
+    return np.stack(cols_per_prime)  # [P, N, C]
+
+
+def _kernel(params: TfheParams, dec_ref, bk_ref, bksh_ref, tw_ref, out_ref):
+    """dec_ref: int32[kpl, N, B]; bk_ref/bksh_ref: uint32[P, N, kpl*(k+1)];
+    tw_ref: uint32[P, N, C] twiddle columns; out_ref: int32[k+1, N, B]."""
+    out_ref[...] = _ntt_extern_product(dec_ref[...], bk_ref, bksh_ref, tw_ref, params)
+
+
+def _crt(r1, r2):
+    r1p2 = r1 - jnp.uint32(ntt.P2) * (r1 >= jnp.uint32(ntt.P2))
+    diff = _subm(r2, r1p2, ntt.P2)
+    t = _shoup(diff, jnp.uint32(ntt._INV_P1_MOD_P2), jnp.uint32(ntt._INV_P1_SHOUP), ntt.P2)
+    rep = r1 + jnp.uint32(ntt.P1) * t
+    upper = (t > jnp.uint32(ntt._T_HALF)) | (
+        (t == jnp.uint32(ntt._T_HALF)) & (r1 >= jnp.uint32(ntt._R1_HALF)))
+    rep = rep - jnp.uint32(ntt._M_MOD_2_32) * upper.astype(jnp.uint32)
+    return rep
+
+
+def _ntt_extern_product(dec, bk_ref, bksh_ref, tw_ref, params: TfheParams):
+    """Shared body: dec int32[kpl, N, B] -> delta uint32-rep int32[k+1, N, B]."""
+    N, kpl, k = params.N, params.kpl, params.k
+    fwd_ts, inv_ts = _roll_stage_list(N)
+    residues = []
+    for pi, p in enumerate(ntt.PRIMES):
+        tabs = ntt.ntt_tables(N, p)
+        d = dec + jnp.int32(p) * (dec < 0).astype(jnp.int32)
+        d = d.astype(jnp.uint32)
+        psi = tw_ref[pi, :, 0][:, None]
+        psi_sh = tw_ref[pi, :, 1][:, None]
+        ipsi = tw_ref[pi, :, 2][:, None]
+        ipsi_sh = tw_ref[pi, :, 3][:, None]
+        ci = 4
+        fwd_cols = {}
+        for t in fwd_ts:
+            fwd_cols[t] = (tw_ref[pi, :, ci][:, None], tw_ref[pi, :, ci + 1][:, None])
+            ci += 2
+        inv_cols = {}
+        for t in inv_ts:
+            inv_cols[t] = (tw_ref[pi, :, ci][:, None], tw_ref[pi, :, ci + 1][:, None])
+            ci += 2
+
+        dhat = _fwd_rows(d, psi, psi_sh, fwd_cols, tabs["psi_br"], tabs["psi_br_shoup"], N, p)
+        outs = []
+        for c in range(k + 1):
+            s = None
+            for l in range(kpl):
+                col = bk_ref[pi, :, l * (k + 1) + c][:, None]
+                col_sh = bksh_ref[pi, :, l * (k + 1) + c][:, None]
+                term = _shoup(dhat[l], col, col_sh, p)
+                s = term if s is None else _addm(s, term, p)
+            outs.append(s)
+        prod = jnp.stack(outs, axis=0)
+        ninv_consts = (int(tabs["n_inv"]), int(tabs["n_inv_shoup"]),
+                       int(tabs["ipsi1_ninv"]), int(tabs["ipsi1_ninv_shoup"]))
+        residues.append(_inv_rows(prod, ipsi, ipsi_sh, inv_cols,
+                                  tabs["ipsi_br"], tabs["ipsi_br_shoup"],
+                                  ninv_consts, N, p))
+    out = _crt(residues[0], residues[1])
+    return jax.lax.bitcast_convert_type(out, jnp.int32)
+
+
+def _step_kernel(params: TfheParams, acc_ref, bara_ref, bk_ref, bksh_ref, tw_ref, out_ref):
+    """One full CMux iteration: rotate -> diff -> decompose -> external product
+    -> accumulate, all in VMEM.
+
+    acc_ref/out_ref: int32[k+1, N, B]; bara_ref: int32[1, B] in [0, 2N);
+    bk_ref/bksh_ref: uint32[P, N, kpl*(k+1)]; tw_ref: uint32[P, N, C].
+
+    The per-sample negacyclic rotation X^bara is a bit-ladder of 11 static
+    sublane rolls, each selected per-LANE by one bit of bara - no gathers and
+    no dynamic shifts (the TPU answer to the reference's per-thread index
+    arithmetic in prepareForiFFT_n_Bit, boot-gates.cu:2150-2248).
+    """
+    N, kpl, k, l = params.N, params.kpl, params.k, params.bk_l
+    acc = acc_ref[...]
+    a = bara_ref[...].reshape(1, 1, -1)                       # [1, 1, B]
+
+    rot = acc
+    nbits = (2 * N).bit_length() - 1                          # log2(2N)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    for kb in range(nbits):
+        sh = 1 << kb
+        bit = ((a >> kb) & 1) != 0
+        if sh == N:
+            rolled = -rot
+        else:
+            rolled = pltpu.roll(rot, sh, axis=1)
+            rolled = jnp.where(iota < sh, -rolled, rolled)
+        rot = jnp.where(bit, rolled, rot)
+
+    diff = rot - acc                                          # (X^a - 1) * acc
+    u = jax.lax.bitcast_convert_type(diff, jnp.uint32) + jnp.uint32(params.decomp_offset)
+    rows = []
+    for c in range(k + 1):
+        for pdig in range(l):
+            shift = 32 - (pdig + 1) * params.bk_Bgbit
+            dig = (u[c:c + 1] >> jnp.uint32(shift)) & jnp.uint32(params.maskMod)
+            rows.append(jax.lax.bitcast_convert_type(dig, jnp.int32) - jnp.int32(params.halfBg))
+    dec = jnp.concatenate(rows, axis=0)                       # [kpl, N, B]
+
+    delta = _ntt_extern_product(dec, bk_ref, bksh_ref, tw_ref, params)
+    out_ref[...] = acc + delta
+
+
+def blind_rotate_step(acc_t: jnp.ndarray, bara_j: jnp.ndarray, bk_j: jnp.ndarray,
+                      bksh_j: jnp.ndarray, params: TfheParams,
+                      interpret: bool = False) -> jnp.ndarray:
+    """One fused CMux iteration. acc_t: int32[k+1, N, B]; bara_j: int32[1, B];
+    bk_j/bksh_j: uint32[P, N, kpl*(k+1)]. Returns the new accumulator."""
+    N, k = params.N, params.k
+    B = acc_t.shape[-1]
+    tw = jnp.asarray(_twiddle_stack(N))
+    kern = functools.partial(_step_kernel, params)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((k + 1, N, B), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(acc_t, bara_j, bk_j, bksh_j, tw)
+
+
+def cmux_delta(dec_t: jnp.ndarray, bk_j: jnp.ndarray, bksh_j: jnp.ndarray,
+               params: TfheParams, interpret: bool = False) -> jnp.ndarray:
+    """Fused external product. dec_t: int32[kpl, N, B];
+    bk_j/bksh_j: uint32[P, N, kpl*(k+1)] (row-major NTT-domain BK slice).
+    Returns delta int32[k+1, N, B]."""
+    N, kpl, k = params.N, params.kpl, params.k
+    B = dec_t.shape[-1]
+    tw = jnp.asarray(_twiddle_stack(N))
+    kern = functools.partial(_kernel, params)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((k + 1, N, B), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(dec_t, bk_j, bksh_j, tw)
