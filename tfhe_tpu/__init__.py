@@ -23,5 +23,9 @@ from .core.crypt import encrypt_bits, decrypt_bits, decrypt_phase, lwe_encrypt, 
 from . import gates
 from . import ntt
 from . import numeric
+from . import arith
+from . import linalg
+from . import io
+from .cipher import CipherInt
 
 __version__ = "0.1.0"

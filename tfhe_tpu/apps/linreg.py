@@ -1,0 +1,52 @@
+"""Encrypted simple linear regression — the paper's application demo (Table X).
+
+The reference paper (section VI-G) fits y = b0 + b1*x over an encrypted
+dataset; the code was never released, so this app reconstructs it from the
+framework's own primitives, exactly as the paper describes: homomorphic
+sums/products for the normal-equation terms, followed by encrypted division.
+
+    b1 = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx),   b0 = (Sy - b1*Sx) / n
+
+All sums use the log-tree vector reduction; all products are batched. Inputs
+are fixed-point integers (caller chooses the scale).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import arith, linalg
+from ..core.lwe import LweCiphertext, lwe_stack
+
+
+def linear_regression(cx: LweCiphertext, cy: LweCiphertext, cloud):
+    """cx, cy: [n_rows, nbits] encrypted fixed-point columns.
+    Returns (b1_num, b1_den, b0_num_scaled) as encrypted integers, plus the
+    encrypted slope b1 = b1_num / b1_den (integer division).
+
+    Widths: intermediate sums/products stay in the input width; callers should
+    size nbits to fit n*Sxy etc. (as the paper's fixed-point setup does)."""
+    n_rows = cx.batch_shape[0]
+    nbits = cx.batch_shape[-1]
+
+    sx = linalg.vector_sum(cx, cloud)                        # [nbits]
+    sy = linalg.vector_sum(cy, cloud)
+    xy = arith.mul(cx, cy, cloud)                            # [n_rows, nbits]
+    xx = arith.mul(cx, cx, cloud)
+    sxy = linalg.vector_sum(xy, cloud)
+    sxx = linalg.vector_sum(xx, cloud)
+
+    n_triv = arith.trivial_bits(
+        ((np.int64(n_rows) >> np.arange(nbits)) & 1).astype(np.int32), cx.n)
+    n_sxy = arith.mul(n_triv, sxy, cloud)
+    n_sxx = arith.mul(n_triv, sxx, cloud)
+    sx_sy = arith.mul(sx, sy, cloud)
+    sx_sx = arith.mul(sx, sx, cloud)
+
+    num = arith.sub(n_sxy, sx_sy, cloud)
+    den = arith.sub(n_sxx, sx_sx, cloud)
+    b1 = arith.div(num, den, cloud)
+
+    b1_sx = arith.mul(b1, sx, cloud)
+    b0_num = arith.sub(sy, b1_sx, cloud)
+    b0 = arith.div(b0_num, n_triv, cloud)
+    return b1, b0

@@ -173,6 +173,53 @@ def mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return rows[0]
 
 
+def mul_full(a: LweCiphertext, b: LweCiphertext, cloud, out_bits: int) -> LweCiphertext:
+    """Shift-and-add multiply with an explicit output width (zero-extends
+    inputs; used by Karatsuba for full-width half-products)."""
+    nbits = a.batch_shape[-1]
+    pad = out_bits - nbits
+    if pad > 0:
+        za = zero_like_bits(a, a.batch_shape[:-1] + (pad,))
+        a = lwe_concat([a, za], axis=-1)
+        b = lwe_concat([b, za], axis=-1)
+    return mul(a, b, cloud)
+
+
+def mul_karatsuba(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Karatsuba multiplication (ref karatMasterSuba, main.cu:1867-2089;
+    cpuParallel OMP-task variant cloud.cpp:77-131; paper section V-B2).
+
+    Splits nbits = 2h, batches the three half-multiplies (a0*b0, a1*b1,
+    (a0+a1)*(b0+b1)) as ONE vector multiply - the reference's key trick of
+    concatenating them into a single coalesced multiply - then recombines:
+    result = d1*2^2h + (d2-d1-d0)*2^h + d0, truncated to nbits.
+    """
+    nbits = a.batch_shape[-1]
+    assert nbits % 2 == 0, "karatsuba needs even bit width"
+    h = nbits // 2
+    w = nbits + 2                      # width that fits (a0+a1)*(b0+b1)
+    a0, a1 = a[..., :h], a[..., h:]
+    b0, b1 = b[..., :h], b[..., h:]
+
+    def zext(x, width):
+        pad = width - x.batch_shape[-1]
+        return lwe_concat([x, zero_like_bits(x, x.batch_shape[:-1] + (pad,))], axis=-1)
+
+    sa = add(zext(a0, h + 1), zext(a1, h + 1), cloud)      # a0 + a1, h+1 bits
+    sb = add(zext(b0, h + 1), zext(b1, h + 1), cloud)
+    # one batched multiply for all three products (leading axis 3)
+    lhs = lwe_stack([zext(a0, w), zext(a1, w), zext(sa, w)], axis=-2)
+    rhs = lwe_stack([zext(b0, w), zext(b1, w), zext(sb, w)], axis=-2)
+    prods = mul(lhs, rhs, cloud)                           # [..., 3, w]
+    d0, d1, d2 = prods[..., 0, :], prods[..., 1, :], prods[..., 2, :]
+    mid = sub(sub(d2, d1, cloud), d0, cloud)               # d2 - d1 - d0
+    # result (mod 2^nbits) = d0 + mid<<h + d1<<2h; 2h >= nbits so d1 drops out
+    out = add(d0[..., :nbits],
+              left_shift(mid[..., :nbits], h)[..., :nbits] if h else mid[..., :nbits],
+              cloud)
+    return out
+
+
 # --------------------------------------------------------------- comparisons
 
 def compare_bit(result, ai, bi, cloud):

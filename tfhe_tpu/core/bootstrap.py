@@ -137,21 +137,15 @@ def blind_rotate(acc: jnp.ndarray, bara: jnp.ndarray, bk_ntt: jnp.ndarray,
 
 def blind_rotate_pallas(acc: jnp.ndarray, bara: jnp.ndarray, cloud,
                         params: TfheParams) -> jnp.ndarray:
-    """Fused-kernel CMux chain: one Pallas call per iteration, accumulator
-    kept in the row-major [k+1, N, B] layout for the whole scan."""
+    """Fused-kernel CMux chain: the ENTIRE n-iteration loop is one Pallas
+    kernel (grid over iterations, accumulator resident in VMEM, BK slices
+    double-buffer-streamed from HBM)."""
     from ..ops import cmux_pallas
 
     acc_t = acc.transpose(1, 2, 0)
-
-    def step(carry, xs):
-        bk_j, bksh_j, bara_j = xs
-        new = cmux_pallas.blind_rotate_step(
-            carry, bara_j[None, :], bk_j, bksh_j, params)
-        return new, None
-
-    acc_t, _ = jax.lax.scan(
-        step, acc_t, (cloud.bk_rows, cloud.bk_rows_shoup, bara.T))
-    return acc_t.transpose(2, 0, 1)
+    out_t = cmux_pallas.blind_rotate_fused(
+        acc_t, bara.T, cloud.bk_rows, cloud.bk_rows_shoup, params)
+    return out_t.transpose(2, 0, 1)
 
 
 def sample_extract(acc: jnp.ndarray, params: TfheParams):

@@ -272,33 +272,11 @@ def _step_kernel(params: TfheParams, acc_ref, bara_ref, bk_ref, bksh_ref, tw_ref
     no dynamic shifts (the TPU answer to the reference's per-thread index
     arithmetic in prepareForiFFT_n_Bit, boot-gates.cu:2150-2248).
     """
-    N, kpl, k, l = params.N, params.kpl, params.k, params.bk_l
+    N = params.N
     acc = acc_ref[...]
     a = bara_ref[...].reshape(1, 1, -1)                       # [1, 1, B]
-
-    rot = acc
-    nbits = (2 * N).bit_length() - 1                          # log2(2N)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
-    for kb in range(nbits):
-        sh = 1 << kb
-        bit = ((a >> kb) & 1) != 0
-        if sh == N:
-            rolled = -rot
-        else:
-            rolled = pltpu.roll(rot, sh, axis=1)
-            rolled = jnp.where(iota < sh, -rolled, rolled)
-        rot = jnp.where(bit, rolled, rot)
-
-    diff = rot - acc                                          # (X^a - 1) * acc
-    u = jax.lax.bitcast_convert_type(diff, jnp.uint32) + jnp.uint32(params.decomp_offset)
-    rows = []
-    for c in range(k + 1):
-        for pdig in range(l):
-            shift = 32 - (pdig + 1) * params.bk_Bgbit
-            dig = (u[c:c + 1] >> jnp.uint32(shift)) & jnp.uint32(params.maskMod)
-            rows.append(jax.lax.bitcast_convert_type(dig, jnp.int32) - jnp.int32(params.halfBg))
-    dec = jnp.concatenate(rows, axis=0)                       # [kpl, N, B]
-
+    rot = _rotate_ladder(acc, a, N)
+    dec = _decompose(rot - acc, params)                       # [kpl, N, B]
     delta = _ntt_extern_product(dec, bk_ref, bksh_ref, tw_ref, params)
     out_ref[...] = acc + delta
 
@@ -322,6 +300,107 @@ def blind_rotate_step(acc_t: jnp.ndarray, bara_j: jnp.ndarray, bk_j: jnp.ndarray
         ),
         interpret=interpret,
     )(acc_t, bara_j, bk_j, bksh_j, tw)
+
+
+def _rotate_ladder(acc, a, N):
+    """Negacyclic X^a rotation along axis 1, per-lane amounts a: [1,1,B].
+    Bit-ladder of static sublane rolls selected per lane by the bits of a."""
+    rot = acc
+    nbits = (2 * N).bit_length() - 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+    for kb in range(nbits):
+        sh = 1 << kb
+        bit = ((a >> kb) & 1) != 0
+        if sh == N:
+            rolled = -rot
+        else:
+            rolled = pltpu.roll(rot, sh, axis=1)
+            rolled = jnp.where(iota < sh, -rolled, rolled)
+        rot = jnp.where(bit, rolled, rot)
+    return rot
+
+
+def _decompose(diff, params: TfheParams):
+    k, l = params.k, params.bk_l
+    u = jax.lax.bitcast_convert_type(diff, jnp.uint32) + jnp.uint32(params.decomp_offset)
+    rows = []
+    for c in range(k + 1):
+        for pdig in range(l):
+            shift = 32 - (pdig + 1) * params.bk_Bgbit
+            dig = (u[c:c + 1] >> jnp.uint32(shift)) & jnp.uint32(params.maskMod)
+            rows.append(jax.lax.bitcast_convert_type(dig, jnp.int32) - jnp.int32(params.halfBg))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _scan_kernel(params: TfheParams, last_j: int, bara_ref, bk_ref, bksh_ref,
+                 tw_ref, acc0_ref, out_ref, acc_scr):
+    """Grid step j: one CMux iteration; accumulator persists in VMEM scratch.
+
+    bara_ref: int32[1, B] (this iteration's switched mask coefficients);
+    bk_ref/bksh_ref: uint32[1, P, N, kpl*(k+1)] (this iteration's BK slice,
+    double-buffer-streamed from HBM by the Pallas pipeline);
+    acc0_ref/out_ref: int32[k+1, N, B]; acc_scr: VMEM scratch, same shape.
+    """
+    N = params.N
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[...] = acc0_ref[...]
+
+    acc = acc_scr[...]
+    a = bara_ref[...].reshape(1, 1, -1)
+    rot = _rotate_ladder(acc, a, N)
+    dec = _decompose(rot - acc, params)
+    delta = _ntt_extern_product(dec, bk_ref[0], bksh_ref[0], tw_ref, params)
+    new = acc + delta
+    acc_scr[...] = new
+
+    @pl.when(j == last_j)
+    def _():
+        out_ref[...] = new
+
+
+def blind_rotate_fused(acc_t: jnp.ndarray, bara: jnp.ndarray, bk_rows: jnp.ndarray,
+                       bksh_rows: jnp.ndarray, params: TfheParams,
+                       interpret: bool = False) -> jnp.ndarray:
+    """The WHOLE blind rotate (all n CMux iterations) as ONE Pallas kernel.
+
+    acc_t: int32[k+1, N, B] (row-major accumulator); bara: int32[n, B];
+    bk_rows/bksh_rows: uint32[n, P, N, kpl*(k+1)].
+
+    The grid iterates over the n key bits; the accumulator lives in VMEM
+    scratch for the whole loop and the per-iteration BK slices stream from HBM
+    with automatic double buffering — the TPU equivalent of the reference's
+    500x{3 kernels + 2 cuFFT batches} loop (boot-gates.cu:2543-2583) collapsed
+    into a single launch.
+    """
+    N, kpl, k = params.N, params.kpl, params.k
+    n = bara.shape[0]
+    B = acc_t.shape[-1]
+    P = bk_rows.shape[1]
+    cols = kpl * (k + 1)
+    tw = jnp.asarray(_twiddle_stack(N))
+    C = tw.shape[-1]
+    kern = functools.partial(_scan_kernel, params, n - 1)
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, N, cols), lambda j: (j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, N, cols), lambda j: (j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N, C), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, N, B), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k + 1, N, B), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k + 1, N, B), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((k + 1, N, B), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(bara[:, None, :], bk_rows, bksh_rows, tw, acc_t)
 
 
 def cmux_delta(dec_t: jnp.ndarray, bk_j: jnp.ndarray, bksh_j: jnp.ndarray,
