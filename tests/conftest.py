@@ -15,6 +15,10 @@ import pytest
 
 import jax
 
+# The ambient axon TPU plugin prepends itself to jax_platforms regardless of
+# the env var; force pure-CPU explicitly so the 8-device virtual mesh exists.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: XLA CPU compiles are extremely slow on this
 # single-core box; the cache makes test re-runs fast.
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
