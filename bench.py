@@ -26,7 +26,7 @@ BASELINE_BOOTSTRAPS_PER_SEC = 454.0  # reference GPU, 32-bit gate batch (Table I
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     params = tt.PARAMS_110
 

@@ -25,6 +25,22 @@ def test_sharded_and_gate(toy_keys):
     np.testing.assert_array_equal(tt.decrypt_bits(sk, out), a & b)
 
 
+def test_sharded_gate_tp_keyswitch(toy_keys):
+    """2-D mesh: batch over dp x ks for blind rotate, KS table row-sharded
+    over ks with a psum reduction (tensor parallelism for the key switch)."""
+    from tfhe_tpu.parallel.mesh import make_mesh2d_dp_ks, sharded_gate2_tp_ks
+    sk = toy_keys
+    B = 16
+    rng = np.random.RandomState(1)
+    a = rng.randint(0, 2, size=B).astype(np.int32)
+    b = rng.randint(0, 2, size=B).astype(np.int32)
+    ca = tt.encrypt_bits(sk, a, seed=65)
+    cb = tt.encrypt_bits(sk, b, seed=66)
+    mesh = make_mesh2d_dp_ks(2, 4)
+    out = sharded_gate2_tp_ks("AND", ca, cb, sk.cloud, mesh)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, out), a & b)
+
+
 @pytest.mark.slow
 def test_cannon_mesh_2x2(toy_keys):
     sk = toy_keys

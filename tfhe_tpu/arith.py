@@ -55,9 +55,12 @@ def decrypt_int(sk, ct: LweCiphertext, signed: bool = True) -> np.ndarray:
     return val
 
 
-def trivial_bits(bits, n: int, batch_shape=()) -> LweCiphertext:
-    """Noiseless trivial encryption of constant bits."""
-    bits = jnp.broadcast_to(jnp.asarray(bits, jnp.int32), batch_shape)
+def trivial_bits(bits, n: int, batch_shape=None) -> LweCiphertext:
+    """Noiseless trivial encryption of constant bits (default: keep shape)."""
+    bits = jnp.asarray(bits, jnp.int32)
+    if batch_shape is None:
+        batch_shape = bits.shape
+    bits = jnp.broadcast_to(bits, batch_shape)
     return gates.CONSTANT(bits, n, bits.shape)
 
 

@@ -163,6 +163,43 @@ def sample_extract(acc: jnp.ndarray, params: TfheParams):
     return a_ext, b_ext
 
 
+def ks_onehot(a_ext: jnp.ndarray, params: TfheParams) -> jnp.ndarray:
+    """Digit-decompose a_ext columns into the one-hot KS matmul operand.
+
+    a_ext: int32[B, C] (any column slice of the extracted sample) ->
+    int8[B, C * t * (base-1)], row order (i, j, h-1) matching ks_to_limb_table
+    (ref digit extraction lwe-keyswitch-functions.cu:106-118)."""
+    t, basebit, base = params.ks_t, params.ks_basebit, params.ks_base
+    B = a_ext.shape[0]
+    aibar = to_u32(a_ext) + jnp.uint32(params.ks_prec_offset)        # [B, C]
+    digs = jnp.stack(
+        [(aibar >> jnp.uint32(32 - (j + 1) * basebit)) & jnp.uint32(base - 1)
+         for j in range(t)],
+        axis=-1,
+    )                                                                 # [B, C, t]
+    hvals = jnp.arange(1, base, dtype=jnp.uint32)
+    onehot = (digs[..., None] == hvals).astype(jnp.int8)              # [B, C, t, base-1]
+    return onehot.reshape(B, -1)
+
+
+def ks_finalize(sums: jnp.ndarray, b_ext: jnp.ndarray, cv: jnp.ndarray,
+                params: TfheParams) -> LweCiphertext:
+    """Recombine int8 limb-plane partial sums into the key-switched sample.
+
+    sums: int32[B, 4 * pad_cols] (possibly psum-reduced across a mesh axis)."""
+    n = params.n
+    B = sums.shape[0]
+    s = sums.reshape(B, 4, sums.shape[1] // 4)
+    r = (s[:, 0]
+         + (s[:, 1] << jnp.int32(8))
+         + (s[:, 2] << jnp.int32(16))
+         + (s[:, 3] << jnp.int32(24)))                                # int32 wrap
+    a_out = -r[:, :n]
+    b_out = b_ext - r[:, n]
+    cv_out = cv + jnp.float32(params.n_extract * params.ks_t * params.ks_stdev ** 2)
+    return LweCiphertext(a_out, b_out, jnp.broadcast_to(cv_out, b_out.shape))
+
+
 def key_switch(a_ext: jnp.ndarray, b_ext: jnp.ndarray, ks_table: jnp.ndarray,
                cv: jnp.ndarray, params: TfheParams) -> LweCiphertext:
     """Key switch via one-hot int8 matmul on the MXU.
@@ -171,30 +208,9 @@ def key_switch(a_ext: jnp.ndarray, b_ext: jnp.ndarray, ks_table: jnp.ndarray,
     result = (0, b_ext) - sum_{i,j} ks[i][j][digit_ij]
     (ref lweKeySwitchTranslate_fromArray, lwe-keyswitch-functions.cu:101-127).
     """
-    n, n_ext, t, basebit = params.n, params.n_extract, params.ks_t, params.ks_basebit
-    base = params.ks_base
-    B = a_ext.shape[0]
-    aibar = to_u32(a_ext) + jnp.uint32(params.ks_prec_offset)        # [B, n_ext]
-    digs = jnp.stack(
-        [(aibar >> jnp.uint32(32 - (j + 1) * basebit)) & jnp.uint32(base - 1)
-         for j in range(t)],
-        axis=-1,
-    )                                                                 # [B, n_ext, t]
-    hvals = jnp.arange(1, base, dtype=jnp.uint32)
-    onehot = (digs[..., None] == hvals).astype(jnp.int8)              # [B, n_ext, t, base-1]
-    rows = n_ext * t * (base - 1)
-    onehot = onehot.reshape(B, rows)
+    onehot = ks_onehot(a_ext, params)
     sums = jnp.matmul(onehot, ks_table, preferred_element_type=jnp.int32)
-    pad_cols = ks_table.shape[1] // 4
-    s = sums.reshape(B, 4, pad_cols)
-    r = (s[:, 0]
-         + (s[:, 1] << jnp.int32(8))
-         + (s[:, 2] << jnp.int32(16))
-         + (s[:, 3] << jnp.int32(24)))                                # int32 wrap
-    a_out = -r[:, :n]
-    b_out = b_ext - r[:, n]
-    cv_out = cv + jnp.float32(n_ext * t * params.ks_stdev ** 2)
-    return LweCiphertext(a_out, b_out, jnp.broadcast_to(cv_out, b_out.shape))
+    return ks_finalize(sums, b_ext, cv, params)
 
 
 # ------------------------------------------------------------------ pipeline

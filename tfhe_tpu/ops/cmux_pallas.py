@@ -171,11 +171,32 @@ def _roll_stage_list(N: int):
     return fwd, inv
 
 
+def _ntt_forward_np(x: np.ndarray, N: int, p: int) -> np.ndarray:
+    """Pure-numpy forward negacyclic NTT (same stage structure/tables as
+    ntt.ntt_forward). Used at table-build time, safe under jit tracing."""
+    tabs = ntt.ntt_tables(N, p)
+    psi = tabs["psi_br"].astype(np.uint64)
+    x = x.astype(np.uint64) % p
+    m, t = 1, N
+    while m < N:
+        t //= 2
+        xr = x.reshape(m, 2, t)
+        u, v = xr[:, 0], xr[:, 1]
+        wv = (v * psi[m:2 * m, None]) % p
+        x = np.stack([(u + wv) % p, (u + p - wv) % p], axis=1).reshape(N)
+        m *= 2
+    return x.astype(np.uint32)
+
+
 @functools.lru_cache(maxsize=None)
-def _twiddle_stack(N: int):
+def _twiddle_stack(N: int, half_bg: int = 512):
     """uint32[P, N, C] twiddle columns.
 
     cols 0..3: psi_br, psi_br_shoup, ipsi_br, ipsi_br_shoup (vector stages).
+    col 4: NTT_p(half_bg * ones(N)) — the offset-decomposition correction
+    column (digits are kept in [0, Bg) inside the kernel; subtracting this
+    fixed transform restores the signed decomposition exactly, saving the
+    per-prime signed->residue conversion on the hot path).
     Then, for each roll-select stage, an identity-padded full column + shoup:
     TW[j] = table[m + j // (2t)] at V rows ((j // t) odd), else 1.
     """
@@ -183,8 +204,9 @@ def _twiddle_stack(N: int):
     cols_per_prime = []
     for p in ntt.PRIMES:
         tabs = ntt.ntt_tables(N, p)
+        ones_hat = _ntt_forward_np(np.full(N, half_bg % p, np.uint64), N, p)
         cols = [tabs["psi_br"], tabs["psi_br_shoup"],
-                tabs["ipsi_br"], tabs["ipsi_br_shoup"]]
+                tabs["ipsi_br"], tabs["ipsi_br_shoup"], ones_hat]
         j = np.arange(N)
         for t in fwd_ts:
             m = N // (2 * t)
@@ -201,9 +223,13 @@ def _twiddle_stack(N: int):
 
 
 def _kernel(params: TfheParams, dec_ref, bk_ref, bksh_ref, tw_ref, out_ref):
-    """dec_ref: int32[kpl, N, B]; bk_ref/bksh_ref: uint32[P, N, kpl*(k+1)];
-    tw_ref: uint32[P, N, C] twiddle columns; out_ref: int32[k+1, N, B]."""
-    out_ref[...] = _ntt_extern_product(dec_ref[...], bk_ref, bksh_ref, tw_ref, params)
+    """dec_ref: int32[kpl, N, B] SIGNED digits in [-Bg/2, Bg/2);
+    bk_ref/bksh_ref: uint32[P, N, kpl*(k+1)]; tw_ref: uint32[P, N, C] twiddle
+    columns; out_ref: int32[k+1, N, B]. Converts to the kernel-internal offset
+    digit form [0, Bg) before the shared body."""
+    dec_off = (jax.lax.bitcast_convert_type(dec_ref[...], jnp.uint32)
+               + jnp.uint32(params.halfBg))
+    out_ref[...] = _ntt_extern_product(dec_off, bk_ref, bksh_ref, tw_ref, params)
 
 
 def _crt(r1, r2):
@@ -218,19 +244,19 @@ def _crt(r1, r2):
 
 
 def _ntt_extern_product(dec, bk_ref, bksh_ref, tw_ref, params: TfheParams):
-    """Shared body: dec int32[kpl, N, B] -> delta uint32-rep int32[k+1, N, B]."""
+    """Shared body: dec uint32[kpl, N, B] offset digits in [0, Bg)
+    -> delta uint32-rep int32[k+1, N, B]."""
     N, kpl, k = params.N, params.kpl, params.k
     fwd_ts, inv_ts = _roll_stage_list(N)
     residues = []
     for pi, p in enumerate(ntt.PRIMES):
         tabs = ntt.ntt_tables(N, p)
-        d = dec + jnp.int32(p) * (dec < 0).astype(jnp.int32)
-        d = d.astype(jnp.uint32)
         psi = tw_ref[pi, :, 0][:, None]
         psi_sh = tw_ref[pi, :, 1][:, None]
         ipsi = tw_ref[pi, :, 2][:, None]
         ipsi_sh = tw_ref[pi, :, 3][:, None]
-        ci = 4
+        ones_hat = tw_ref[pi, :, 4][:, None]
+        ci = 5
         fwd_cols = {}
         for t in fwd_ts:
             fwd_cols[t] = (tw_ref[pi, :, ci][:, None], tw_ref[pi, :, ci + 1][:, None])
@@ -240,7 +266,9 @@ def _ntt_extern_product(dec, bk_ref, bksh_ref, tw_ref, params: TfheParams):
             inv_cols[t] = (tw_ref[pi, :, ci][:, None], tw_ref[pi, :, ci + 1][:, None])
             ci += 2
 
-        dhat = _fwd_rows(d, psi, psi_sh, fwd_cols, tabs["psi_br"], tabs["psi_br_shoup"], N, p)
+        dhat = _fwd_rows(dec, psi, psi_sh, fwd_cols, tabs["psi_br"], tabs["psi_br_shoup"], N, p)
+        # offset correction: true digits are (d - halfBg); NTT is linear
+        dhat = _subm(dhat, ones_hat, p)
         outs = []
         for c in range(k + 1):
             s = None
@@ -288,7 +316,7 @@ def blind_rotate_step(acc_t: jnp.ndarray, bara_j: jnp.ndarray, bk_j: jnp.ndarray
     bk_j/bksh_j: uint32[P, N, kpl*(k+1)]. Returns the new accumulator."""
     N, k = params.N, params.k
     B = acc_t.shape[-1]
-    tw = jnp.asarray(_twiddle_stack(N))
+    tw = jnp.asarray(_twiddle_stack(N, params.halfBg))
     kern = functools.partial(_step_kernel, params)
     return pl.pallas_call(
         kern,
@@ -296,7 +324,7 @@ def blind_rotate_step(acc_t: jnp.ndarray, bara_j: jnp.ndarray, bk_j: jnp.ndarray
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(acc_t, bara_j, bk_j, bksh_j, tw)
@@ -304,31 +332,37 @@ def blind_rotate_step(acc_t: jnp.ndarray, bara_j: jnp.ndarray, bk_j: jnp.ndarray
 
 def _rotate_ladder(acc, a, N):
     """Negacyclic X^a rotation along axis 1, per-lane amounts a: [1,1,B].
-    Bit-ladder of static sublane rolls selected per lane by the bits of a."""
+
+    Bit-ladder of static sublane rolls selected per lane by the bits of a.
+    a in [0, 2N) is split as a = a1*N + a0: ten rolled levels for a0 plus one
+    roll-free global negate for a1 (X^N == -1), instead of an 11-level ladder.
+    """
     rot = acc
-    nbits = (2 * N).bit_length() - 1
+    nbits = N.bit_length() - 1
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
     for kb in range(nbits):
         sh = 1 << kb
         bit = ((a >> kb) & 1) != 0
-        if sh == N:
-            rolled = -rot
-        else:
-            rolled = pltpu.roll(rot, sh, axis=1)
-            rolled = jnp.where(iota < sh, -rolled, rolled)
+        rolled = pltpu.roll(rot, sh, axis=1)
+        rolled = jnp.where(iota < sh, -rolled, rolled)
         rot = jnp.where(bit, rolled, rot)
-    return rot
+    hi = ((a >> nbits) & 1) != 0
+    return jnp.where(hi, -rot, rot)
 
 
 def _decompose(diff, params: TfheParams):
+    """Offset gadget decomposition: digits in [0, Bg) as uint32.
+
+    The true signed digit is (digit - halfBg); the kernel keeps the offset form
+    (valid residue for every CRT prime without conversion) and subtracts the
+    precomputed NTT(halfBg * ones) column after the forward transform."""
     k, l = params.k, params.bk_l
     u = jax.lax.bitcast_convert_type(diff, jnp.uint32) + jnp.uint32(params.decomp_offset)
     rows = []
     for c in range(k + 1):
         for pdig in range(l):
             shift = 32 - (pdig + 1) * params.bk_Bgbit
-            dig = (u[c:c + 1] >> jnp.uint32(shift)) & jnp.uint32(params.maskMod)
-            rows.append(jax.lax.bitcast_convert_type(dig, jnp.int32) - jnp.int32(params.halfBg))
+            rows.append((u[c:c + 1] >> jnp.uint32(shift)) & jnp.uint32(params.maskMod))
     return jnp.concatenate(rows, axis=0)
 
 
@@ -380,7 +414,7 @@ def blind_rotate_fused(acc_t: jnp.ndarray, bara: jnp.ndarray, bk_rows: jnp.ndarr
     B = acc_t.shape[-1]
     P = bk_rows.shape[1]
     cols = kpl * (k + 1)
-    tw = jnp.asarray(_twiddle_stack(N))
+    tw = jnp.asarray(_twiddle_stack(N, params.halfBg))
     C = tw.shape[-1]
     kern = functools.partial(_scan_kernel, params, n - 1)
     return pl.pallas_call(
@@ -397,7 +431,7 @@ def blind_rotate_fused(acc_t: jnp.ndarray, bara: jnp.ndarray, bk_rows: jnp.ndarr
         out_shape=jax.ShapeDtypeStruct((k + 1, N, B), jnp.int32),
         scratch_shapes=[pltpu.VMEM((k + 1, N, B), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(bara[:, None, :], bk_rows, bksh_rows, tw, acc_t)
@@ -410,7 +444,7 @@ def cmux_delta(dec_t: jnp.ndarray, bk_j: jnp.ndarray, bksh_j: jnp.ndarray,
     Returns delta int32[k+1, N, B]."""
     N, kpl, k = params.N, params.kpl, params.k
     B = dec_t.shape[-1]
-    tw = jnp.asarray(_twiddle_stack(N))
+    tw = jnp.asarray(_twiddle_stack(N, params.halfBg))
     kern = functools.partial(_kernel, params)
     return pl.pallas_call(
         kern,
@@ -423,7 +457,7 @@ def cmux_delta(dec_t: jnp.ndarray, bk_j: jnp.ndarray, bksh_j: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(dec_t, bk_j, bksh_j, tw)

@@ -77,3 +77,65 @@ def sharded_bootstrap_step(x: LweCiphertext, cloud, mesh: Mesh, axis: str = "dp"
         check_rep=False,
     )
     return jax.jit(fn)(x, cloud)
+
+
+def make_mesh2d_dp_ks(dp: int, ks: int) -> Mesh:
+    import numpy as np
+    devs = np.array(jax.devices()[: dp * ks]).reshape(dp, ks)
+    return Mesh(devs, ("dp", "ks"))
+
+
+def sharded_gate2_tp_ks(name: str, x: LweCiphertext, y: LweCiphertext, cloud,
+                        mesh: Mesh) -> LweCiphertext:
+    """2-D sharded gate: batch over BOTH mesh axes for the blind rotate, then
+    key-switch with the KS table tensor-parallel over the `ks` axis.
+
+    This is the multi-chip form of the reference's two hot loops: blind rotate
+    is embarrassingly batch-parallel (bit coalescing across all chips), while
+    the key-switch table (the 84M-entry gather table of
+    `lwe-keyswitch-functions.cu`, here the int8 limb matmul operand) is too
+    large to replicate at scale — so its ROWS are sharded over `ks` chips,
+    each chip contracts its row block against its batch gathered over the
+    `ks` axis, and one `psum` over ICI reduces the partial key-switch sums.
+
+    Requires batch % (dp*ks) == 0 and n_extract % ks == 0.
+    """
+    const, ca, cb = gates.GATE_TABLE[name]
+    dp_size, ks_size = mesh.devices.shape
+    params = cloud.params
+    rows_per = cloud.ks_table.shape[0] // ks_size
+    cols_per = params.n_extract // ks_size
+
+    # ciphertext batch sharded over the flattened (dp, ks) axes
+    ct_spec = LweCiphertext(a=P(("dp", "ks"), None), b=P(("dp", "ks")), cv=P(("dp", "ks")))
+    # cloud key: BK replicated, KS table row-sharded over ks
+    cloud_spec = jax.tree.map(lambda _: P(), cloud)
+    cloud_spec = type(cloud_spec)(
+        params=cloud_spec.params, bk_ntt=P(), bk_ntt_shoup=P(),
+        bk_rows=P(), bk_rows_shoup=P(), ks_table=P("ks", None))
+
+    def local(xs, ys, ck):
+        t = gates._affine2(xs, ys, jnp.int32(const), jnp.int32(ca), jnp.int32(cb))
+        a_ext, b_ext, cv = bs.bootstrap_woks(t, jnp.int32(gates.MU), ck)
+        # gather the batch across the ks axis; each chip key-switches the
+        # whole ks-group batch against its KS-table row shard
+        a_all = jax.lax.all_gather(a_ext, "ks", axis=0, tiled=True)
+        b_all = jax.lax.all_gather(b_ext, "ks", axis=0, tiled=True)
+        cv_all = jax.lax.all_gather(cv, "ks", axis=0, tiled=True)
+        i = jax.lax.axis_index("ks")
+        a_slice = jax.lax.dynamic_slice_in_dim(a_all, i * cols_per, cols_per, axis=1)
+        onehot = bs.ks_onehot(a_slice, params)                   # [B_ks, rows_per]
+        sums = jnp.matmul(onehot, ck.ks_table, preferred_element_type=jnp.int32)
+        sums = jax.lax.psum(sums, "ks")
+        out = bs.ks_finalize(sums, b_all, cv_all, params)
+        # re-split the batch: keep this chip's ks-slice
+        bsz = xs.b.shape[0]
+        return LweCiphertext(
+            jax.lax.dynamic_slice_in_dim(out.a, i * bsz, bsz, axis=0),
+            jax.lax.dynamic_slice_in_dim(out.b, i * bsz, bsz, axis=0),
+            jax.lax.dynamic_slice_in_dim(out.cv, i * bsz, bsz, axis=0))
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(ct_spec, ct_spec, cloud_spec),
+                   out_specs=ct_spec, check_rep=False)
+    return jax.jit(fn)(x, y, cloud)

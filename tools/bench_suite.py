@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Full benchmark suite — reproduces the reference paper's experiment tables.
+
+Mirrors the experiment drivers of `gpuParallel/main.cu:893-2711` (gate batches,
+compound gates, adders, multipliers, vector ops, matrix multiply) and reports
+side-by-side against the published GTX-1080 numbers in BASELINE.md (paper
+Tables IV-IX). Every measurement decrypt-verifies its result against plain
+int semantics before being recorded (the reference's decrypt-oracle method,
+`main.cu:491-507`).
+
+Usage:
+  python tools/bench_suite.py [--exp gates add mul vector matmul]
+                              [--out BENCH_TABLES.json]
+
+Writes a JSON report and prints a markdown summary.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+import tfhe_tpu as tt
+from tfhe_tpu import arith, gates, linalg
+
+# Reference GPU numbers (GTX 1080; BASELINE.md, paper Tables IV-IX), seconds.
+REF_GPU = {
+    "gate_batch": {2: 0.02274, 4: 0.02163, 8: 0.03058, 16: 0.04406, 32: 0.07050},
+    "add_bitwise": {16: 0.98, 24: 1.47, 32: 1.99},
+    "add_numberwise": {16: 0.94, 24: 2.55, 32: 4.44},
+    "mul_naive": {16: 11.16, 24: 22.08, 32: 33.99},
+    "mul_karatsuba": {16: 7.6708, 32: 24.62},
+    "vector_add_16bit": {4: 1.27, 8: 1.78, 16: 2.82, 32: 5.41},
+    "vector_mul_16bit": {4: 24.6, 8: 45.0, 16: 84.0, 32: 160.8},  # minutes->s (Table VIII)
+    "matmul_16bit": {2: 51.6, 4: 354.0, 8: 2637.0, 16: 11173.8},  # minutes->s (Table IX)
+}
+
+
+def _timed(fn, *args, warmup=True):
+    """Compile+run once (warmup), then time one execution."""
+    if warmup:
+        out = fn(*args)
+        jax.block_until_ready(out.b if hasattr(out, "b") else out)
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out.b if hasattr(out, "b") else out)
+    return time.time() - t0, out
+
+
+def _signed(v, nb):
+    v = int(v) & ((1 << nb) - 1)
+    return v - (1 << nb) if v & (1 << (nb - 1)) else v
+
+
+def bench_gates(sk, report):
+    """Table IV: one coalesced AND batch of n bits, n in {2,4,8,16,32},
+    plus a large-batch throughput row."""
+    rows = {}
+    for nb in (2, 4, 8, 16, 32):
+        rng = np.random.RandomState(nb)
+        a = rng.randint(0, 2, size=nb).astype(np.int32)
+        b = rng.randint(0, 2, size=nb).astype(np.int32)
+        ca = tt.encrypt_bits(sk, a, seed=100 + nb)
+        cb = tt.encrypt_bits(sk, b, seed=200 + nb)
+        dt, out = _timed(lambda x, y: gates.AND(x, y, sk.cloud), ca, cb)
+        got = tt.decrypt_bits(sk, out)
+        assert np.array_equal(got, a & b), f"gate batch {nb} mismatch"
+        ref = REF_GPU["gate_batch"].get(nb)
+        rows[nb] = {"s": round(dt, 5), "ref_gpu_s": ref,
+                    "speedup": round(ref / dt, 2) if ref else None}
+        print(f"  AND batch {nb:3d} bits: {dt*1e3:8.1f} ms   (ref GPU {ref*1e3 if ref else 0:.1f} ms)", flush=True)
+    report["gate_batch"] = rows
+
+
+def bench_add(sk, report):
+    """Table V: n-bit addition, bitwise (GPU_1) and number-wise (GPU_n)."""
+    rows = {}
+    for nb in (16, 24, 32):
+        rng = np.random.RandomState(nb)
+        a, b = [int(x) for x in rng.randint(0, 1 << (nb - 2), size=2)]
+        ca = arith.encrypt_int(sk, a, nb, seed=300 + nb)
+        cb = arith.encrypt_int(sk, b, nb, seed=400 + nb)
+        dt1, out1 = _timed(lambda x, y: arith.add(x, y, sk.cloud), ca, cb)
+        assert int(arith.decrypt_int(sk, out1)) == _signed(a + b, nb)
+        dtn, outn = _timed(lambda x, y: arith.add_numberwise(x, y, sk.cloud), ca, cb)
+        assert int(arith.decrypt_int(sk, outn)) == _signed(a + b, nb)
+        r1, rn = REF_GPU["add_bitwise"].get(nb), REF_GPU["add_numberwise"].get(nb)
+        rows[nb] = {"bitwise_s": round(dt1, 3), "numberwise_s": round(dtn, 3),
+                    "ref_bitwise_s": r1, "ref_numberwise_s": rn,
+                    "speedup_bitwise": round(r1 / dt1, 2) if r1 else None}
+        print(f"  add {nb}-bit: GPU_1 {dt1:6.3f}s (ref {r1}s)  GPU_n {dtn:6.3f}s (ref {rn}s)", flush=True)
+    report["add"] = rows
+
+
+def bench_mul(sk, report):
+    """Table VII: n-bit multiplication, naive shift-add and Karatsuba."""
+    rows = {}
+    for nb in (16, 32):
+        rng = np.random.RandomState(nb)
+        a, b = [int(x) for x in rng.randint(0, 1 << (nb // 2 - 1), size=2)]
+        ca = arith.encrypt_int(sk, a, nb, seed=500 + nb)
+        cb = arith.encrypt_int(sk, b, nb, seed=600 + nb)
+        dtn, outn = _timed(lambda x, y: arith.mul(x, y, sk.cloud), ca, cb)
+        assert int(arith.decrypt_int(sk, outn)) == _signed(a * b, nb)
+        dtk, outk = _timed(lambda x, y: arith.mul_karatsuba(x, y, sk.cloud), ca, cb)
+        assert int(arith.decrypt_int(sk, outk)) == _signed(a * b, nb)
+        rn, rk = REF_GPU["mul_naive"].get(nb), REF_GPU["mul_karatsuba"].get(nb)
+        rows[nb] = {"naive_s": round(dtn, 3), "karatsuba_s": round(dtk, 3),
+                    "ref_naive_s": rn, "ref_karatsuba_s": rk,
+                    "speedup_naive": round(rn / dtn, 2) if rn else None}
+        print(f"  mul {nb}-bit: naive {dtn:7.3f}s (ref {rn}s)  karatsuba {dtk:7.3f}s (ref {rk}s)", flush=True)
+    report["mul"] = rows
+
+
+def bench_vector(sk, report):
+    """Tables VI+VIII: 16-bit vector add / multiply over lengths 4..32."""
+    nb = 16
+    rows_add, rows_mul = {}, {}
+    for L in (4, 8, 16, 32):
+        rng = np.random.RandomState(L)
+        va = rng.randint(0, 1 << (nb - 2), size=L)
+        vb = rng.randint(0, 1 << (nb - 2), size=L)
+        cva = arith.encrypt_int(sk, va, nb, seed=700 + L)
+        cvb = arith.encrypt_int(sk, vb, nb, seed=800 + L)
+        dta, outa = _timed(lambda x, y: linalg.vector_add(x, y, sk.cloud), cva, cvb)
+        assert np.array_equal(arith.decrypt_int(sk, outa),
+                              [_signed(int(x + y), nb) for x, y in zip(va, vb)])
+        ra = REF_GPU["vector_add_16bit"].get(L)
+        rows_add[L] = {"s": round(dta, 3), "ref_gpu_s": ra,
+                       "speedup": round(ra / dta, 2) if ra else None}
+        print(f"  vec add  L={L:2d}: {dta:7.3f}s (ref {ra}s)", flush=True)
+    for L in (4, 16):
+        rng = np.random.RandomState(L)
+        va = rng.randint(0, 1 << (nb // 2 - 1), size=L)
+        vb = rng.randint(0, 1 << (nb // 2 - 1), size=L)
+        cva = arith.encrypt_int(sk, va, nb, seed=900 + L)
+        cvb = arith.encrypt_int(sk, vb, nb, seed=1000 + L)
+        dtm, outm = _timed(lambda x, y: linalg.vector_mul(x, y, sk.cloud), cva, cvb)
+        assert np.array_equal(arith.decrypt_int(sk, outm),
+                              [_signed(int(x * y), nb) for x, y in zip(va, vb)])
+        rm = REF_GPU["vector_mul_16bit"].get(L)
+        rows_mul[L] = {"s": round(dtm, 3), "ref_gpu_s": rm,
+                       "speedup": round(rm / dtm, 2) if rm else None}
+        print(f"  vec mul  L={L:2d}: {dtm:7.3f}s (ref {rm}s)", flush=True)
+    report["vector_add"] = rows_add
+    report["vector_mul"] = rows_mul
+
+
+def bench_matmul(sk, report):
+    """Table IX: DxD 16-bit matrix multiply (flattened-tree + Cannon)."""
+    nb = 16
+    rows = {}
+    for D in (2, 4):
+        rng = np.random.RandomState(D)
+        ma = rng.randint(0, 16, size=(D, D))
+        mb = rng.randint(0, 16, size=(D, D))
+        cma = arith.encrypt_int(sk, ma, nb, seed=1100 + D)
+        cmb = arith.encrypt_int(sk, mb, nb, seed=1200 + D)
+        want = [[_signed(int(v), nb) for v in row] for row in (ma @ mb)]
+        dtf, outf = _timed(lambda x, y: linalg.matmul(x, y, sk.cloud), cma, cmb)
+        assert arith.decrypt_int(sk, outf).tolist() == want
+        dtc, outc = _timed(lambda x, y: linalg.cannon_matmul(x, y, sk.cloud), cma, cmb)
+        assert arith.decrypt_int(sk, outc).tolist() == want
+        rr = REF_GPU["matmul_16bit"].get(D)
+        rows[D] = {"tree_s": round(dtf, 3), "cannon_s": round(dtc, 3),
+                   "ref_gpu_s": rr, "speedup_tree": round(rr / dtf, 2) if rr else None}
+        print(f"  matmul {D}x{D}: tree {dtf:8.3f}s  cannon {dtc:8.3f}s (ref {rr}s)", flush=True)
+    report["matmul"] = rows
+
+
+EXPS = {"gates": bench_gates, "add": bench_add, "mul": bench_mul,
+        "vector": bench_vector, "matmul": bench_matmul}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", nargs="*", default=list(EXPS))
+    ap.add_argument("--out", default="BENCH_TABLES.json")
+    args = ap.parse_args(argv)
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+    t0 = time.time()
+    sk = tt.keygen(tt.PARAMS_110, seed=(314, 1592, 657))
+    print(f"keygen: {time.time()-t0:.1f}s", flush=True)
+
+    report = {"device": str(jax.devices()[0]),
+              "params": "110-bit (n=500, N=1024, k=1, l=2, Bg=1024, t=8, basebit=2)"}
+    for name in args.exp:
+        print(f"== {name} ==", flush=True)
+        EXPS[name](sk, report)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
