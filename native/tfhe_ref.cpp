@@ -210,6 +210,77 @@ void tfhe_gate2_batch(const TfheParamsC* P, int32_t gate_const, int32_t coef_a,
                        out_a, out_b);
 }
 
+// Gate constants (boot-gates.cu:106,132; 1/8 and 1/4 on the torus)
+static const int32_t kMu = 1 << 29;        // 1/8
+static const int32_t kXorConst = 1 << 30;  // 1/4
+
+// n-bit ripple-carry adder over LWE bit-planes — the native twin of the
+// reference CPU framework's Cipher::addBits full adder (cpuParallel/
+// Cipher.cpp:381-392) and of tfhe_tpu.arith.add (bitwise GPU_1 form):
+//   bit 0:  s0 = XOR(a0,b0), c = AND(a0,b0)
+//   bit i:  t0 = XOR(ai,c); t1 = XOR(bi,c); t = AND(t0,t1);
+//           si = XOR(ai,t1); c' = XOR(t,c)
+// Layout: xa [batch, nbits, n] C-order, xb [batch, nbits]; out same.
+// Every gate stage bootstraps the whole batch in one OMP-parallel sweep.
+void tfhe_ripple_add(const TfheParamsC* P, const int32_t* xa, const int32_t* xb,
+                     const int32_t* ya, const int32_t* yb, int nbits, int batch,
+                     const int32_t* bk, const int32_t* ks_a, const int32_t* ks_b,
+                     int32_t* out_a, int32_t* out_b) {
+  const int n = P->n;
+  const int64_t stride = static_cast<int64_t>(nbits) * n;
+  auto bit_a = [&](const int32_t* base, int i, int bit) {
+    return base + static_cast<int64_t>(i) * stride + static_cast<int64_t>(bit) * n;
+  };
+  std::vector<int32_t> sel_xa(static_cast<int64_t>(batch) * n), sel_xb(batch);
+  std::vector<int32_t> sel_ya(static_cast<int64_t>(batch) * n), sel_yb(batch);
+  std::vector<int32_t> carry_a(static_cast<int64_t>(batch) * n), carry_b(batch);
+  std::vector<int32_t> t0_a(static_cast<int64_t>(batch) * n), t0_b(batch);
+  std::vector<int32_t> t1_a(static_cast<int64_t>(batch) * n), t1_b(batch);
+  std::vector<int32_t> t_a(static_cast<int64_t>(batch) * n), t_b(batch);
+
+  auto gather = [&](const int32_t* aa, const int32_t* ab, int bit,
+                    std::vector<int32_t>& da, std::vector<int32_t>& db) {
+    for (int i = 0; i < batch; i++) {
+      std::memcpy(da.data() + static_cast<int64_t>(i) * n, bit_a(aa, i, bit),
+                  n * sizeof(int32_t));
+      db[i] = ab[static_cast<int64_t>(i) * nbits + bit];
+    }
+  };
+  auto gate = [&](int32_t gconst, int32_t ca, int32_t cb,
+                  const std::vector<int32_t>& pa, const std::vector<int32_t>& pb,
+                  const std::vector<int32_t>& qa, const std::vector<int32_t>& qb,
+                  std::vector<int32_t>& ra, std::vector<int32_t>& rb) {
+    tfhe_gate2_batch(P, gconst, ca, cb, pa.data(), pb.data(), qa.data(),
+                     qb.data(), kMu, bk, ks_a, ks_b, batch, ra.data(), rb.data());
+  };
+  auto scatter = [&](int bit, const std::vector<int32_t>& ra,
+                     const std::vector<int32_t>& rb) {
+    for (int i = 0; i < batch; i++) {
+      std::memcpy(out_a + static_cast<int64_t>(i) * stride + static_cast<int64_t>(bit) * n,
+                  ra.data() + static_cast<int64_t>(i) * n, n * sizeof(int32_t));
+      out_b[static_cast<int64_t>(i) * nbits + bit] = rb[i];
+    }
+  };
+
+  gather(xa, xb, 0, sel_xa, sel_xb);
+  gather(ya, yb, 0, sel_ya, sel_yb);
+  gate(kXorConst, 2, 2, sel_xa, sel_xb, sel_ya, sel_yb, t0_a, t0_b);  // s0
+  scatter(0, t0_a, t0_b);
+  gate(-kMu, 1, 1, sel_xa, sel_xb, sel_ya, sel_yb, carry_a, carry_b); // c = AND
+  for (int bit = 1; bit < nbits; bit++) {
+    gather(xa, xb, bit, sel_xa, sel_xb);
+    gather(ya, yb, bit, sel_ya, sel_yb);
+    gate(kXorConst, 2, 2, sel_xa, sel_xb, carry_a, carry_b, t0_a, t0_b);  // t0
+    gate(kXorConst, 2, 2, sel_ya, sel_yb, carry_a, carry_b, t1_a, t1_b);  // t1
+    gate(-kMu, 1, 1, t0_a, t0_b, t1_a, t1_b, t_a, t_b);                   // t
+    gate(kXorConst, 2, 2, sel_xa, sel_xb, t1_a, t1_b, t0_a, t0_b);        // si
+    scatter(bit, t0_a, t0_b);
+    gate(kXorConst, 2, 2, t_a, t_b, carry_a, carry_b, t1_a, t1_b);        // c'
+    carry_a.swap(t1_a);
+    carry_b.swap(t1_b);
+  }
+}
+
 int tfhe_native_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

@@ -57,3 +57,23 @@ def test_native_gate_truth_table(toy_keys):
     from tfhe_tpu.core.lwe import LweCiphertext
     out = LweCiphertext(jnp.asarray(oa), jnp.asarray(ob), jnp.zeros(4, jnp.float32))
     np.testing.assert_array_equal(tt.decrypt_bits(sk, out), A & B_)
+
+
+def test_native_ripple_add(toy_keys):
+    """Native C++ adder vs plain int semantics and vs the JAX adder's output
+    decryption (same circuit, cpuParallel Cipher::operator+ twin)."""
+    sk = toy_keys
+    from tfhe_tpu import arith
+    from tfhe_tpu.core.lwe import LweCiphertext
+    nb = 4
+    a = np.array([3, 7, -8], np.int64)
+    b = np.array([2, 1, 3], np.int64)
+    ca = arith.encrypt_int(sk, a, nb, seed=91)
+    cb = arith.encrypt_int(sk, b, nb, seed=92)
+    oa, ob = native_ref.ripple_add(
+        sk, np.asarray(ca.a), np.asarray(ca.b), np.asarray(cb.a), np.asarray(cb.b))
+    out = LweCiphertext(jnp.asarray(oa), jnp.asarray(ob),
+                        jnp.zeros(ob.shape, jnp.float32))
+    got = arith.decrypt_int(sk, out)
+    want = np.array([5, -8, -5])  # mod-16 two's complement of a+b
+    np.testing.assert_array_equal(got, want)

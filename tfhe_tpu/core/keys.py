@@ -213,23 +213,33 @@ def ks_to_limb_table(ks_a: np.ndarray, ks_b: np.ndarray, params: TfheParams) -> 
     return limbs.reshape(rows, 4 * pad_cols)
 
 
-def keygen(params: TfheParams, seed=(314, 1592, 657)) -> SecretKeySet:
-    """Generate a full secret keyset + cloud keyset (ref tfhe_gate_bootstrapping.cu:57-70)."""
-    root = _seed_to_key(seed)
-    k_lwe, k_tlwe, k_bk, k_ks = jax.random.split(root, 4)
+import functools
 
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _keygen_core(params: TfheParams, root):
+    """The whole keygen dataflow as ONE jitted program (a single compile on
+    backends without a persistent compile cache, e.g. the axon TPU tunnel)."""
+    k_lwe, k_tlwe, k_bk, k_ks = jax.random.split(root, 4)
     lwe_key = jax.random.randint(k_lwe, (params.n,), 0, 2, dtype=jnp.int32)
     tlwe_key = jax.random.randint(k_tlwe, (params.k, params.N), 0, 2, dtype=jnp.int32)
-
     bk_raw = generate_bootstrapping_key(k_bk, lwe_key, tlwe_key, params)
     ext_key = tlwe_key.reshape(params.n_extract)
     ks_a, ks_b = generate_keyswitch_key(k_ks, ext_key, lwe_key, params)
+    bk_ntt = jnp.stack(
+        [ntt.ntt_forward(ntt.i32_to_residue(bk_raw, p), params.N, p)
+         for p in ntt.PRIMES], axis=1)                       # [n, P, kpl, k+1, N]
+    return lwe_key, tlwe_key, bk_raw, ks_a, ks_b, bk_ntt
 
-    bk_raw_np = np.asarray(bk_raw)
-    ks_a_np = np.asarray(ks_a)
-    ks_b_np = np.asarray(ks_b)
 
-    bk_ntt, bk_shoup = bk_to_ntt(bk_raw_np, params)
+def keygen(params: TfheParams, seed=(314, 1592, 657)) -> SecretKeySet:
+    """Generate a full secret keyset + cloud keyset (ref tfhe_gate_bootstrapping.cu:57-70)."""
+    root = _seed_to_key(seed)
+    out = _keygen_core(params, root)
+    lwe_key, tlwe_key, bk_raw_np, ks_a_np, ks_b_np, bk_ntt = map(np.asarray, out)
+
+    bk_shoup = np.stack([ntt.shoup(bk_ntt[:, i], p)
+                         for i, p in enumerate(ntt.PRIMES)], axis=1)
     ks_table = ks_to_limb_table(ks_a_np, ks_b_np, params)
 
     cloud = CloudKey(

@@ -48,6 +48,9 @@ def _lib():
         ctypes.POINTER(_ParamsC), ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32p, i32p, i32p, i32p, ctypes.c_int32, i32p, i32p, i32p,
         ctypes.c_int, i32p, i32p]
+    lib.tfhe_ripple_add.argtypes = [
+        ctypes.POINTER(_ParamsC), i32p, i32p, i32p, i32p,
+        ctypes.c_int, ctypes.c_int, i32p, i32p, i32p, i32p, i32p]
     lib.tfhe_native_num_threads.restype = ctypes.c_int
     return lib
 
@@ -101,6 +104,26 @@ def gate2_batch(sk, name: str, xa, xb, ya, yb) -> tuple:
         np.ascontiguousarray(sk.ks_a, np.int32),
         np.ascontiguousarray(sk.ks_b, np.int32),
         batch, out_a, out_b)
+    return out_a, out_b
+
+
+def ripple_add(sk, xa, xb, ya, yb) -> tuple:
+    """Native n-bit ripple-carry addition of encrypted integer batches
+    (cpuParallel Cipher::operator+ twin). xa: [batch, nbits, n]; xb: [batch, nbits]."""
+    params = sk.params
+    batch, nbits = xb.shape
+    out_a = np.empty((batch, nbits, params.n), np.int32)
+    out_b = np.empty((batch, nbits), np.int32)
+    p = _pc(params)
+    _lib().tfhe_ripple_add(
+        ctypes.byref(p),
+        np.ascontiguousarray(xa, np.int32), np.ascontiguousarray(xb, np.int32),
+        np.ascontiguousarray(ya, np.int32), np.ascontiguousarray(yb, np.int32),
+        nbits, batch,
+        np.ascontiguousarray(sk.bk_raw, np.int32),
+        np.ascontiguousarray(sk.ks_a, np.int32),
+        np.ascontiguousarray(sk.ks_b, np.int32),
+        out_a, out_b)
     return out_a, out_b
 
 
