@@ -88,3 +88,17 @@ class CipherInt:
 
     def minimum(self, o: "CipherInt") -> "CipherInt":
         return self._wrap(arith.minimum(self.ct, o.ct, self.cloud))
+
+    def increment(self) -> "CipherInt":
+        """self + 1 (ref Cipher::operator++, Cipher.h:49 / Cipher.cpp:228-242)."""
+        one = CipherInt.trivial(1, self.nbits, self.cloud)
+        if self.batch_shape:
+            one = CipherInt.trivial(np.ones(self.batch_shape, np.int64),
+                                    self.nbits, self.cloud)
+        return self + one
+
+    def __iadd__(self, o: "CipherInt") -> "CipherInt":
+        return self + o
+
+    def __isub__(self, o: "CipherInt") -> "CipherInt":
+        return self - o

@@ -233,9 +233,19 @@ def _keygen_core(params: TfheParams, root):
 
 
 def keygen(params: TfheParams, seed=(314, 1592, 657)) -> SecretKeySet:
-    """Generate a full secret keyset + cloud keyset (ref tfhe_gate_bootstrapping.cu:57-70)."""
+    """Generate a full secret keyset + cloud keyset (ref tfhe_gate_bootstrapping.cu:57-70).
+
+    The key-derivation program always runs on the CPU backend: threefry is
+    bit-deterministic across backends, CPU compiles hit the persistent disk
+    cache (the TPU tunnel backend recompiles every process, ~2 min), and the
+    resulting cloud key is placed on the default (accelerator) device."""
     root = _seed_to_key(seed)
-    out = _keygen_core(params, root)
+    if jax.default_backend() != "cpu":
+        cpu0 = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu0):
+            out = _keygen_core(params, jax.device_put(root, cpu0))
+    else:
+        out = _keygen_core(params, root)
     lwe_key, tlwe_key, bk_raw_np, ks_a_np, ks_b_np, bk_ntt = map(np.asarray, out)
 
     bk_shoup = np.stack([ntt.shoup(bk_ntt[:, i], p)
