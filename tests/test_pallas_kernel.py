@@ -66,3 +66,25 @@ def test_blind_rotate_step_matches_xla(rand_bk):
         jnp.asarray(acc.transpose(1, 2, 0)), jnp.asarray(bara)[None, :],
         bkr, bkrs, params, interpret=True)
     np.testing.assert_array_equal(np.asarray(got).transpose(2, 0, 1), want)
+
+
+def test_blind_rotate_packed_matches_xla(small_keys):
+    """Packed small-batch kernel (interpret mode) vs the XLA scan path,
+    bit-identical accumulators after a full blind rotate (N=256, B=3)."""
+    from tfhe_tpu.params import PARAMS_SMALL
+    from tfhe_tpu.ops import cmux_pallas_packed as cpp
+    sk = small_keys
+    params = PARAMS_SMALL
+    N, k, n = params.N, params.k, params.n
+    B = 3
+    rng = np.random.RandomState(11)
+    acc = jnp.asarray(rng.randint(-2**31, 2**31, size=(B, k + 1, N)).astype(np.int32))
+    bara = jnp.asarray(rng.randint(0, 2 * N, size=(B, n)).astype(np.int32))
+
+    want = bs.blind_rotate(acc, bara, sk.cloud.bk_ntt, sk.cloud.bk_ntt_shoup, params)
+
+    acc_p = jnp.asarray(np.asarray(acc)).transpose(1, 0, 2).reshape((k + 1) * B, N // 128, 128)
+    out_p = cpp.blind_rotate_fused_packed(
+        acc_p, bara.T, sk.cloud.bk_ntt, sk.cloud.bk_ntt_shoup, params, interpret=True)
+    got = np.asarray(out_p).reshape(k + 1, B, N).transpose(1, 0, 2)
+    np.testing.assert_array_equal(got, np.asarray(want))

@@ -135,17 +135,44 @@ def blind_rotate(acc: jnp.ndarray, bara: jnp.ndarray, bk_ntt: jnp.ndarray,
     return acc
 
 
+PACKED_MAX_BATCH = 32   # below this, the packed small-batch kernel wins
+LANE_MAX_BATCH = 256    # VMEM-bounded chunk for the lane-layout kernel — the
+                        # TPU analog of the reference's bootsLimit memory
+                        # batching (boot-gates.cu:2869-2907), sized to the
+                        # measured throughput sweet spot
+
+
 def blind_rotate_pallas(acc: jnp.ndarray, bara: jnp.ndarray, cloud,
                         params: TfheParams) -> jnp.ndarray:
     """Fused-kernel CMux chain: the ENTIRE n-iteration loop is one Pallas
     kernel (grid over iterations, accumulator resident in VMEM, BK slices
-    double-buffer-streamed from HBM)."""
+    double-buffer-streamed from HBM).
+
+    Two layouts: lane-batch (throughput, B >= ~128, chunked to LANE_MAX_BATCH)
+    and packed slabs (latency, small B — the serial-circuit path; see
+    ops/cmux_pallas_packed)."""
+    B, k1, N = acc.shape
+    if B <= PACKED_MAX_BATCH and N % 128 == 0 and N >= 256:
+        from ..ops import cmux_pallas_packed as cpp
+        acc_p = acc.transpose(1, 0, 2).reshape(k1 * B, N // 128, 128)
+        out_p = cpp.blind_rotate_fused_packed(
+            acc_p, bara.T, cloud.bk_ntt, cloud.bk_ntt_shoup, params)
+        return out_p.reshape(k1, B, N).transpose(1, 0, 2)
     from ..ops import cmux_pallas
 
-    acc_t = acc.transpose(1, 2, 0)
-    out_t = cmux_pallas.blind_rotate_fused(
-        acc_t, bara.T, cloud.bk_rows, cloud.bk_rows_shoup, params)
-    return out_t.transpose(2, 0, 1)
+    def one_chunk(acc_c, bara_c):
+        acc_t = acc_c.transpose(1, 2, 0)
+        out_t = cmux_pallas.blind_rotate_fused(
+            acc_t, bara_c.T, cloud.bk_rows, cloud.bk_rows_shoup, params)
+        return out_t.transpose(2, 0, 1)
+
+    if B <= LANE_MAX_BATCH:
+        return one_chunk(acc, bara)
+    outs = []
+    for s in range(0, B, LANE_MAX_BATCH):
+        e = min(s + LANE_MAX_BATCH, B)
+        outs.append(one_chunk(acc[s:e], bara[s:e]))
+    return jnp.concatenate(outs, axis=0)
 
 
 def sample_extract(acc: jnp.ndarray, params: TfheParams):

@@ -81,6 +81,42 @@ def bench_gates(sk, report):
     report["gate_batch"] = rows
 
 
+def bench_compound(sk, report):
+    """Fig. 5c: compound gate (AND||XOR in ONE bootstrap batch) vs 2 sequential
+    gates, 16-bit operands."""
+    nb = 16
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 2, size=nb).astype(np.int32)
+    b = rng.randint(0, 2, size=nb).astype(np.int32)
+    ca = tt.encrypt_bits(sk, a, seed=1300)
+    cb = tt.encrypt_bits(sk, b, seed=1400)
+
+    def compound(x, y):
+        return gates.gate2_pair("AND", "XOR", x, y, x, y, sk.cloud)
+
+    dt_c, (g_and, g_xor) = _timed_multi(compound, ca, cb)
+    assert np.array_equal(tt.decrypt_bits(sk, g_and), a & b)
+    assert np.array_equal(tt.decrypt_bits(sk, g_xor), a ^ b)
+
+    def sequential(x, y):
+        return gates.AND(x, y, sk.cloud), gates.XOR(x, y, sk.cloud)
+
+    dt_s, _ = _timed_multi(sequential, ca, cb)
+    report["compound_gate"] = {
+        "compound_s": round(dt_c, 4), "sequential_2_gates_s": round(dt_s, 4),
+        "ref_gpu_compound_s": 0.02, "ref_gpu_sequential_s": 0.04}
+    print(f"  AND||XOR compound: {dt_c*1e3:.1f} ms   2 sequential: {dt_s*1e3:.1f} ms", flush=True)
+
+
+def _timed_multi(fn, *args):
+    out = fn(*args)
+    jax.block_until_ready([o.b for o in out])
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready([o.b for o in out])
+    return time.time() - t0, out
+
+
 def bench_add(sk, report):
     """Table V: n-bit addition, bitwise (GPU_1) and number-wise (GPU_n)."""
     rows = {}
@@ -177,8 +213,8 @@ def bench_matmul(sk, report):
     report["matmul"] = rows
 
 
-EXPS = {"gates": bench_gates, "add": bench_add, "mul": bench_mul,
-        "vector": bench_vector, "matmul": bench_matmul}
+EXPS = {"gates": bench_gates, "compound": bench_compound, "add": bench_add,
+        "mul": bench_mul, "vector": bench_vector, "matmul": bench_matmul}
 
 
 def main(argv=None):
