@@ -135,7 +135,7 @@ def blind_rotate(acc: jnp.ndarray, bara: jnp.ndarray, bk_ntt: jnp.ndarray,
     return acc
 
 
-PACKED_MAX_BATCH = 32   # below this, the packed small-batch kernel wins
+PACKED_MAX_BATCH = 64   # below this, the packed small-batch kernel wins (measured crossover: packed 40ms vs lane 60ms at B=64; lane wins at 128)
 LANE_MAX_BATCH = 256    # VMEM-bounded chunk for the lane-layout kernel — the
                         # TPU analog of the reference's bootsLimit memory
                         # batching (boot-gates.cu:2869-2907), sized to the
