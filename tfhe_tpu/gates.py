@@ -80,14 +80,36 @@ def _keyswitch_flat(a_ext, b_ext, cv, cloud) -> LweCiphertext:
     return bs.key_switch(a_ext, b_ext, cloud.ks_table, cv, cloud.params)
 
 
+@jax.jit
+def _gate2_jit(x: LweCiphertext, y: LweCiphertext, const, ca, cb, cloud):
+    """Whole gate (flatten -> affine -> bootstrap -> unflatten) as ONE program
+    — a single dispatch through the device tunnel."""
+    shape = x.batch_shape
+    B = 1
+    for s in shape:
+        B *= s
+    t = _affine2(x.reshape(B), y.reshape(B), const, ca, cb)
+    out = bs.bootstrap(t, jnp.int32(MU), cloud)
+    return out.reshape(shape)
+
+
+@jax.jit
+def _gate2_pair_jit(x1, y1, x2, y2, c1, a1, b1, c2, a2, b2, cloud):
+    shape = x1.batch_shape
+    B = 1
+    for s in shape:
+        B *= s
+    t1 = _affine2(x1.reshape(B), y1.reshape(B), c1, a1, b1)
+    t2 = _affine2(x2.reshape(B), y2.reshape(B), c2, a2, b2)
+    t = lwe_concat([t1, t2], axis=0)
+    out = bs.bootstrap(t, jnp.int32(MU), cloud)
+    return out[:B].reshape(shape), out[B:].reshape(shape)
+
+
 def gate2(name: str, x: LweCiphertext, y: LweCiphertext, cloud) -> LweCiphertext:
     """Generic bootstrapped 2-input gate; batch shapes must match."""
     const, ca, cb = GATE_TABLE[name]
-    xf, shape = _flatten(x)
-    yf, _ = _flatten(y)
-    t = _affine2(xf, yf, jnp.int32(const), jnp.int32(ca), jnp.int32(cb))
-    out = _bootstrap_flat(t, cloud)
-    return out.reshape(shape)
+    return _gate2_jit(x, y, jnp.int32(const), jnp.int32(ca), jnp.int32(cb), cloud)
 
 
 def gate2_pair(name1: str, name2: str, x1, y1, x2, y2, cloud):
@@ -98,16 +120,9 @@ def gate2_pair(name1: str, name2: str, x1, y1, x2, y2, cloud):
     """
     c1, a1, b1 = GATE_TABLE[name1]
     c2, a2, b2 = GATE_TABLE[name2]
-    x1f, shape = _flatten(x1)
-    y1f, _ = _flatten(y1)
-    x2f, _ = _flatten(x2)
-    y2f, _ = _flatten(y2)
-    t1 = _affine2(x1f, y1f, jnp.int32(c1), jnp.int32(a1), jnp.int32(b1))
-    t2 = _affine2(x2f, y2f, jnp.int32(c2), jnp.int32(a2), jnp.int32(b2))
-    t = lwe_concat([t1, t2], axis=0)
-    out = _bootstrap_flat(t, cloud)
-    B = x1f.b.shape[0]
-    return out[:B].reshape(shape), out[B:].reshape(shape)
+    return _gate2_pair_jit(x1, y1, x2, y2,
+                           jnp.int32(c1), jnp.int32(a1), jnp.int32(b1),
+                           jnp.int32(c2), jnp.int32(a2), jnp.int32(b2), cloud)
 
 
 # ---- the classic named gates --------------------------------------------
@@ -140,21 +155,23 @@ def CONSTANT(value, n: int, batch_shape=()) -> LweCiphertext:
     return noiseless_trivial(mu, n, batch_shape)
 
 
+@jax.jit
 def MUX(a: LweCiphertext, b: LweCiphertext, c: LweCiphertext, cloud) -> LweCiphertext:
     """a ? b : c with two bootstraps batched as ONE kernel + one key switch
     (ref bootsMUX, boot-gates.cu:403-448; fused GPU variant :2631-2843)."""
-    af, shape = _flatten(a)
-    bf, _ = _flatten(b)
-    cf, _ = _flatten(c)
-    B = af.b.shape[0]
+    shape = a.batch_shape
+    B = 1
+    for s in shape:
+        B *= s
+    af, bf, cf = a.reshape(B), b.reshape(B), c.reshape(B)
     # AND(a, b) image and AND(not a, c) image
     t1 = _affine2(af, bf, jnp.int32(-_1_8), jnp.int32(1), jnp.int32(1))
     t2 = _affine2(af, cf, jnp.int32(-_1_8), jnp.int32(-1), jnp.int32(1))
     t = lwe_concat([t1, t2], axis=0)
-    a_ext, b_ext, cv = _bootstrap_woks_flat(t, cloud)
+    a_ext, b_ext, cv = bs.bootstrap_woks(t, jnp.int32(MU), cloud)
     # temp = (0, 1/8) + u1 + u2 over the extracted params, then one key switch
     a_sum = a_ext[:B] + a_ext[B:]
     b_sum = jnp.int32(_1_8) + b_ext[:B] + b_ext[B:]
     cv_sum = cv[:B] + cv[B:]
-    out = _keyswitch_flat(a_sum, b_sum, cv_sum, cloud)
+    out = bs.key_switch(a_sum, b_sum, cloud.ks_table, cv_sum, cloud.params)
     return out.reshape(shape)
