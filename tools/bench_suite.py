@@ -233,9 +233,8 @@ def main(argv=None):
     for name in args.exp:
         print(f"== {name} ==", flush=True)
         EXPS[name](sk, report)
-
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=2)
+        with open(args.out, "w") as f:     # incremental: survive timeouts
+            json.dump(report, f, indent=2)
     print(f"wrote {args.out}")
 
 
