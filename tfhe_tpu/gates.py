@@ -45,14 +45,6 @@ GATE_TABLE = {
 }
 
 
-def _flatten(ct: LweCiphertext):
-    shape = ct.batch_shape
-    B = 1
-    for s in shape:
-        B *= s
-    return ct.reshape(B), shape
-
-
 @jax.jit
 def _affine2(x: LweCiphertext, y: LweCiphertext, const, ca, cb) -> LweCiphertext:
     """(0, const) + ca*x + cb*y with int32 wrap (the gate affine stage)."""
@@ -63,21 +55,6 @@ def _affine2(x: LweCiphertext, y: LweCiphertext, const, ca, cb) -> LweCiphertext
     b = const + ca * x.b + cb * y.b
     cv = ca.astype(jnp.float32) ** 2 * x.cv + cb.astype(jnp.float32) ** 2 * y.cv
     return LweCiphertext(a, b, cv)
-
-
-@jax.jit
-def _bootstrap_flat(x: LweCiphertext, cloud) -> LweCiphertext:
-    return bs.bootstrap(x, jnp.int32(MU), cloud)
-
-
-@jax.jit
-def _bootstrap_woks_flat(x: LweCiphertext, cloud):
-    return bs.bootstrap_woks(x, jnp.int32(MU), cloud)
-
-
-@jax.jit
-def _keyswitch_flat(a_ext, b_ext, cv, cloud) -> LweCiphertext:
-    return bs.key_switch(a_ext, b_ext, cloud.ks_table, cv, cloud.params)
 
 
 @jax.jit
