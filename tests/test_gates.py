@@ -70,3 +70,17 @@ def test_gate_batch_shapes(toy_keys):
     b = np.array([[1, 1], [0, 1]], np.int32)
     out = gates.AND(tt.encrypt_bits(sk, a, seed=11), tt.encrypt_bits(sk, b, seed=12), sk.cloud)
     np.testing.assert_array_equal(tt.decrypt_bits(sk, out), a & b)
+
+
+def test_large_batch_chunked(toy_keys):
+    """Batches beyond LANE_MAX_BATCH run through the lax.map chunked pipeline
+    (equal chunks + remainder) — the bootsLimit analog."""
+    sk = toy_keys
+    B = 2 * 256 + 37
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 2, size=B).astype(np.int32)
+    b = rng.randint(0, 2, size=B).astype(np.int32)
+    ca = tt.encrypt_bits(sk, a, seed=55)
+    cb = tt.encrypt_bits(sk, b, seed=56)
+    out = gates.AND(ca, cb, sk.cloud)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, out), a & b)

@@ -242,12 +242,42 @@ def key_switch(a_ext: jnp.ndarray, b_ext: jnp.ndarray, ks_table: jnp.ndarray,
 
 # ------------------------------------------------------------------ pipeline
 
+def _chunked_over_batch(impl, x: LweCiphertext, chunk: int):
+    """Run `impl` (ct-chunk -> pytree) over equal chunks of the flat batch with
+    ONE compiled body (lax.map) plus a remainder call, then concatenate.
+
+    The TPU analog of the reference's bootsLimit GPU-memory batching
+    (boot-gates.cu:2869-2907): bounds VMEM for the fused kernel AND keeps the
+    key-switch one-hot operand (B x 24576 int8) out of HBM for huge batches
+    (e.g. the 16x16 matrix multiply's million-gate AND stage)."""
+    B = x.b.shape[0]
+    if B <= chunk:
+        return impl(x)
+    n_full, rem = divmod(B, chunk)
+    head = LweCiphertext(
+        x.a[: n_full * chunk].reshape(n_full, chunk, -1),
+        x.b[: n_full * chunk].reshape(n_full, chunk),
+        x.cv[: n_full * chunk].reshape(n_full, chunk))
+    if n_full > 1:
+        outs = jax.lax.map(impl, head)
+    else:
+        outs = jax.tree.map(lambda v: v[None], impl(x[:chunk]))
+    parts = [jax.tree.map(lambda v: v.reshape((n_full * chunk,) + v.shape[2:]), outs)]
+    if rem:
+        parts.append(impl(x[n_full * chunk:]))
+    return jax.tree.map(lambda *vs: jnp.concatenate(vs, axis=0), *parts)
+
+
 def bootstrap_woks(x: LweCiphertext, mu, cloud) -> tuple:
     """Bootstrap without key switch: returns extracted (a_ext, b_ext, cv)
     (ref tfhe_bootstrap_woKS_FFT, lwe-bootstrapping-functions-fft.cu:1834-1880).
 
     x: flat batch [B]. mu: int32 scalar (the output message amplitude).
     """
+    B = x.b.shape[0]
+    if B > LANE_MAX_BATCH:
+        return _chunked_over_batch(
+            lambda c: bootstrap_woks(c, mu, cloud), x, LANE_MAX_BATCH)
     params: TfheParams = cloud.params
     N, k = params.N, params.k
     B = x.b.shape[0]
@@ -275,7 +305,13 @@ def bootstrap_woks(x: LweCiphertext, mu, cloud) -> tuple:
 
 
 def bootstrap(x: LweCiphertext, mu, cloud) -> LweCiphertext:
-    """Full gate bootstrap (ref tfhe_bootstrap_FFT, lwe-bootstrapping-functions-fft.cu:1884)."""
+    """Full gate bootstrap (ref tfhe_bootstrap_FFT, lwe-bootstrapping-functions-fft.cu:1884).
+
+    Batches beyond LANE_MAX_BATCH run the whole pipeline (blind rotate +
+    extract + key switch) chunk-by-chunk with one compiled body."""
+    B = x.b.shape[0]
+    if B > LANE_MAX_BATCH:
+        return _chunked_over_batch(lambda c: bootstrap(c, mu, cloud), x, LANE_MAX_BATCH)
     a_ext, b_ext, cv = bootstrap_woks(x, mu, cloud)
     return key_switch(a_ext, b_ext, cloud.ks_table, cv, cloud.params)
 
