@@ -36,3 +36,18 @@ def test_linreg_toy(toy_keys):
     b1, b0 = linear_regression(cx, cy, sk.cloud)
     assert int(arith.decrypt_int(sk, b1)) == 2
     assert int(arith.decrypt_int(sk, b0)) == 1
+
+
+def test_linreg_binary(toy_keys):
+    """Binary-attribute linear regression (paper Table X 'Binary' column):
+    x in {0,1}, y = 3x + 2 -> b1 = 3, b0 = 2."""
+    from tfhe_tpu.apps.linreg import linear_regression_binary
+    sk = toy_keys
+    nb = 8
+    x = np.array([0, 1, 0, 1], np.int64)
+    y = 3 * x + 2
+    cx = tt.encrypt_bits(sk, x.astype(np.int32), seed=73)
+    cy = arith.encrypt_int(sk, y, nb, seed=74)
+    b1, b0 = linear_regression_binary(cx, cy, sk.cloud)
+    assert int(arith.decrypt_int(sk, b1)) == 3
+    assert int(arith.decrypt_int(sk, b0)) == 2

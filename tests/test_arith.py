@@ -105,3 +105,15 @@ def test_shifts(toy_keys):
     np.testing.assert_array_equal(ls, [_signed(x << 1) for x in a])
     rs = arith.decrypt_int(sk, arith.right_shift_arith(ca, 1))
     np.testing.assert_array_equal(rs, [x >> 1 for x in a])
+
+
+def test_mul_mux(toy_keys):
+    """MUX-based multiplier variant (ref Cipher::mul MUX path)."""
+    sk = toy_keys
+    a = np.array([3, -2], np.int64)
+    b = np.array([2, 3], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=31)
+    cb = arith.encrypt_int(sk, b, NB, seed=32)
+    out = arith.decrypt_int(sk, arith.mul_mux(ca, cb, sk.cloud))
+    want = np.array([_signed(x * y) for x, y in zip(a, b)])
+    np.testing.assert_array_equal(out, want)

@@ -50,3 +50,45 @@ def linear_regression(cx: LweCiphertext, cy: LweCiphertext, cloud):
     b0_num = arith.sub(sy, b1_sx, cloud)
     b0 = arith.div(b0_num, n_triv, cloud)
     return b1, b0
+
+
+def linear_regression_binary(cx_bits: LweCiphertext, cy: LweCiphertext, cloud):
+    """The paper's faster 'Binary' variant (Table X): the attribute column is
+    a single encrypted BIT per row, so every x-product collapses to an AND
+    (Sxx == Sx, and x*y = MUX(x, y, 0)).
+
+    cx_bits: [n_rows] encrypted bits; cy: [n_rows, nbits]. Returns (b1, b0)."""
+    from .. import gates
+    from ..core.lwe import lwe_stack
+
+    n_rows = cy.batch_shape[0]
+    nbits = cy.batch_shape[-1]
+    xmask = lwe_stack([cx_bits] * nbits, axis=-1)            # [n_rows, nbits]
+    zeros = arith.zero_like_bits(cy, cy.batch_shape)
+    xy = gates.MUX(xmask, cy, zeros, cloud)                  # x_i * y_i, one MUX batch
+
+    # an encrypted bit IS bit 0 of the integer encoding (same +-1/8 message)
+    zero_pad = arith.zero_like_bits(cy, (n_rows, nbits - 1))
+    from ..core.lwe import lwe_concat
+    x_as_int = lwe_concat([xmask[..., :1], zero_pad], axis=-1)   # [n_rows, nbits]
+
+    sx = linalg.vector_sum(x_as_int, cloud)
+    sy = linalg.vector_sum(cy, cloud)
+    sxy = linalg.vector_sum(xy, cloud)
+    sxx = sx                                                 # x in {0,1} -> x^2 == x
+
+    n_triv = arith.trivial_bits(
+        ((np.int64(n_rows) >> np.arange(nbits)) & 1).astype(np.int32), cy.n)
+    n_sxy = arith.mul(n_triv, sxy, cloud)
+    n_sxx = arith.mul(n_triv, sxx, cloud)
+    sx_sy = arith.mul(sx, sy, cloud)
+    sx_sx = arith.mul(sx, sx, cloud)
+
+    num = arith.sub(n_sxy, sx_sy, cloud)
+    den = arith.sub(n_sxx, sx_sx, cloud)
+    b1 = arith.div(num, den, cloud)
+    b1_sx = arith.mul(b1, sx, cloud)
+    b0_num = arith.sub(sy, b1_sx, cloud)
+    b0 = arith.div(b0_num, n_triv, cloud)
+    return b1, b0
+

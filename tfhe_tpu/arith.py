@@ -176,6 +176,31 @@ def mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return rows[0]
 
 
+def mul_mux(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """MUX-based shift-and-add multiplier — the reference CPU framework's
+    alternative `mul` (ref mulBinary path inside Cipher::mul,
+    cpuParallel/Cipher.cpp:126-176): partial product i is
+    MUX(b_i, a << i, 0) (one batched MUX for all rows), then the same
+    log-tree reduction as `mul`."""
+    nbits = a.batch_shape[-1]
+    shifted = lwe_stack([left_shift(a, i) for i in range(nbits)], axis=-2)
+    bcol = lwe_stack([b[..., i] for i in range(nbits)], axis=-1)
+    sel = lwe_stack([bcol] * nbits, axis=-1)               # [..., i, j] = b_i
+    zeros = zero_like_bits(a, shifted.batch_shape)
+    rows_ct = gates.MUX(sel, shifted, zeros, cloud)        # [..., nbits, nbits]
+    rows = [rows_ct[..., i, :] for i in range(nbits)]
+    while len(rows) > 1:
+        half = len(rows) // 2
+        lhs = lwe_stack(rows[:half], axis=-2)
+        rhs = lwe_stack(rows[half:2 * half], axis=-2)
+        summed = add(lhs, rhs, cloud)
+        nxt = [summed[..., i, :] for i in range(half)]
+        if len(rows) % 2:
+            nxt.append(rows[-1])
+        rows = nxt
+    return rows[0]
+
+
 def mul_full(a: LweCiphertext, b: LweCiphertext, cloud, out_bits: int) -> LweCiphertext:
     """Shift-and-add multiply with an explicit output width (zero-extends
     inputs; used by Karatsuba for full-width half-products)."""
