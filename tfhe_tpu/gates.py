@@ -83,9 +83,33 @@ def _gate2_pair_jit(x1, y1, x2, y2, c1, a1, b1, c2, a2, b2, cloud):
     return out[:B].reshape(shape), out[B:].reshape(shape)
 
 
+# Flat-batch size above which a gate call is split into repeated dispatches of
+# the same compiled chunk program. Keeps every traced program at a bounded
+# size: the device tunnel's AOT compiler handles the fixed-size pipeline well
+# but chokes on giant programs (and on lax.map-wrapped kernels), and the
+# reference needed the same memory-driven batching (bootsLimit,
+# boot-gates.cu:2869-2907).
+GATE_CHUNK = 256
+
+
+def _flat_batch(ct: LweCiphertext) -> int:
+    B = 1
+    for s in ct.batch_shape:
+        B *= s
+    return B
+
+
 def gate2(name: str, x: LweCiphertext, y: LweCiphertext, cloud) -> LweCiphertext:
     """Generic bootstrapped 2-input gate; batch shapes must match."""
     const, ca, cb = GATE_TABLE[name]
+    B = _flat_batch(x)
+    if B > GATE_CHUNK:
+        shape = x.batch_shape
+        xf, yf = x.reshape(B), y.reshape(B)
+        outs = [gate2(name, xf[s:min(s + GATE_CHUNK, B)],
+                      yf[s:min(s + GATE_CHUNK, B)], cloud)
+                for s in range(0, B, GATE_CHUNK)]
+        return lwe_concat(outs, axis=0).reshape(shape)
     return _gate2_jit(x, y, jnp.int32(const), jnp.int32(ca), jnp.int32(cb), cloud)
 
 
@@ -97,6 +121,20 @@ def gate2_pair(name1: str, name2: str, x1, y1, x2, y2, cloud):
     """
     c1, a1, b1 = GATE_TABLE[name1]
     c2, a2, b2 = GATE_TABLE[name2]
+    B = _flat_batch(x1)
+    if 2 * B > GATE_CHUNK:
+        half = GATE_CHUNK // 2
+        shape = x1.batch_shape
+        flats = [v.reshape(B) for v in (x1, y1, x2, y2)]
+        outs1, outs2 = [], []
+        for s in range(0, B, half):
+            e = min(s + half, B)
+            o1, o2 = gate2_pair(name1, name2, flats[0][s:e], flats[1][s:e],
+                                flats[2][s:e], flats[3][s:e], cloud)
+            outs1.append(o1)
+            outs2.append(o2)
+        return (lwe_concat(outs1, axis=0).reshape(shape),
+                lwe_concat(outs2, axis=0).reshape(shape))
     return _gate2_pair_jit(x1, y1, x2, y2,
                            jnp.int32(c1), jnp.int32(a1), jnp.int32(b1),
                            jnp.int32(c2), jnp.int32(a2), jnp.int32(b2), cloud)
@@ -132,10 +170,23 @@ def CONSTANT(value, n: int, batch_shape=()) -> LweCiphertext:
     return noiseless_trivial(mu, n, batch_shape)
 
 
-@jax.jit
 def MUX(a: LweCiphertext, b: LweCiphertext, c: LweCiphertext, cloud) -> LweCiphertext:
     """a ? b : c with two bootstraps batched as ONE kernel + one key switch
     (ref bootsMUX, boot-gates.cu:403-448; fused GPU variant :2631-2843)."""
+    B = _flat_batch(a)
+    if 2 * B > GATE_CHUNK:
+        half = GATE_CHUNK // 2
+        shape = a.batch_shape
+        af, bf, cf = a.reshape(B), b.reshape(B), c.reshape(B)
+        outs = [MUX(af[s:min(s + half, B)], bf[s:min(s + half, B)],
+                    cf[s:min(s + half, B)], cloud)
+                for s in range(0, B, half)]
+        return lwe_concat(outs, axis=0).reshape(shape)
+    return _mux_jit(a, b, c, cloud)
+
+
+@jax.jit
+def _mux_jit(a: LweCiphertext, b: LweCiphertext, c: LweCiphertext, cloud) -> LweCiphertext:
     shape = a.batch_shape
     B = 1
     for s in shape:

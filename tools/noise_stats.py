@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Empirical gate noise statistics — production health check.
+
+Runs N bootstrapped gates with REAL noise (the 110-bit parameter set), decrypts
+with the secret key, and reports (a) the failure count and (b) the distribution
+of the decrypted phase error relative to the +-1/8 target — the empirical
+counterpart of the noise-variance bookkeeping the pipeline carries in `cv`
+(and of the reference's decrypt-oracle eyeball checks, main.cu:491-507).
+
+Usage: python tools/noise_stats.py [total_gates] [batch]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+import tfhe_tpu as tt
+from tfhe_tpu import gates
+from tfhe_tpu.core.crypt import decrypt_phase
+
+
+def main():
+    total = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    params = tt.PARAMS_110
+    sk = tt.keygen(params, seed=(314, 1592, 657))
+    rng = np.random.RandomState(42)
+
+    mu = float(1 << 29)  # 1/8 target amplitude
+    failures = 0
+    max_rel_err = 0.0
+    errs = []
+    done = 0
+    round_i = 0
+    while done < total:
+        a = rng.randint(0, 2, size=batch).astype(np.int32)
+        b = rng.randint(0, 2, size=batch).astype(np.int32)
+        ca = tt.encrypt_bits(sk, a, seed=1000 + round_i)
+        cb = tt.encrypt_bits(sk, b, seed=2000 + round_i)
+        out = gates.AND(ca, cb, sk.cloud)
+        got = tt.decrypt_bits(sk, out)
+        want = a & b
+        failures += int(np.sum(got != want))
+        phase = decrypt_phase(sk, out).astype(np.float64)
+        target = np.where(want != 0, mu, -mu)
+        rel = np.abs(phase - target) / mu
+        errs.append(rel)
+        max_rel_err = max(max_rel_err, float(rel.max()))
+        done += batch
+        round_i += 1
+        print(f"  {done}/{total} gates, failures={failures}, "
+              f"max |phase err|/mu so far = {max_rel_err:.4f}", flush=True)
+
+    rel = np.concatenate(errs)
+    print(f"\ngates: {done}   failures: {failures} "
+          f"(rate {failures/done:.2e})")
+    print(f"|phase error|/mu: mean {rel.mean():.4f}  p99 {np.percentile(rel, 99):.4f}  "
+          f"max {rel.max():.4f}   (failure threshold: 1.0 == 1/8 on the torus; "
+          f"2.0 would flip the sign)")
+
+
+if __name__ == "__main__":
+    main()
