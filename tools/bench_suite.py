@@ -41,7 +41,7 @@ REF_GPU = {
     "mul_karatsuba": {16: 7.6708, 32: 24.62},
     "vector_add_16bit": {4: 1.27, 8: 1.78, 16: 2.82, 32: 5.41},
     "vector_mul_16bit": {4: 24.6, 8: 45.0, 16: 84.0, 32: 160.8},  # minutes->s (Table VIII)
-    "matmul_16bit": {2: 51.6, 4: 354.0, 8: 2637.0, 16: 11173.8},  # minutes->s (Table IX)
+    "matmul_16bit": {2: 51.6, 4: 354.0, 8: 2637.0, 16: 11173.8},  # Table IX (s)
 }
 
 
@@ -192,10 +192,12 @@ def bench_vector(sk, report):
 
 
 def bench_matmul(sk, report):
-    """Table IX: DxD 16-bit matrix multiply (flattened-tree + Cannon)."""
+    """Table IX: DxD 16-bit matrix multiply (flattened-tree + Cannon).
+    Sizes via BENCH_MATMUL_SIZES (default "2,4"; 8/16 take minutes)."""
     nb = 16
     rows = {}
-    for D in (2, 4):
+    sizes = tuple(int(v) for v in os.environ.get("BENCH_MATMUL_SIZES", "2,4").split(","))
+    for D in sizes:
         rng = np.random.RandomState(D)
         ma = rng.randint(0, 16, size=(D, D))
         mb = rng.randint(0, 16, size=(D, D))
