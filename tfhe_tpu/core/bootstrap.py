@@ -20,8 +20,6 @@ This is the TPU-native re-design of the reference's fused fullGPU pipeline
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

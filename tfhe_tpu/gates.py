@@ -14,14 +14,11 @@ of gates over B bits costs one bootstrap kernel of batch B.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
-from .params import TfheParams
-from .core.lwe import (LweCiphertext, lwe_add, lwe_add_mul, lwe_concat,
-                       lwe_negate, noiseless_trivial)
+from .core.lwe import (LweCiphertext, lwe_concat, lwe_negate,
+                       noiseless_trivial)
 from .core import bootstrap as bs
 
 # Torus constants (modSwitchToTorus32(x, Msize))
