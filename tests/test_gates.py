@@ -84,3 +84,21 @@ def test_large_batch_chunked(toy_keys):
     cb = tt.encrypt_bits(sk, b, seed=56)
     out = gates.AND(ca, cb, sk.cloud)
     np.testing.assert_array_equal(tt.decrypt_bits(sk, out), a & b)
+
+
+def test_pair_and_mux_chunked(toy_keys):
+    """Compound gates and MUX split oversized batches (2B > GATE_CHUNK)."""
+    sk = toy_keys
+    B = 140                      # 2*140 = 280 > 256
+    rng = np.random.RandomState(4)
+    a = rng.randint(0, 2, size=B).astype(np.int32)
+    b = rng.randint(0, 2, size=B).astype(np.int32)
+    s = rng.randint(0, 2, size=B).astype(np.int32)
+    ca = tt.encrypt_bits(sk, a, seed=57)
+    cb = tt.encrypt_bits(sk, b, seed=58)
+    cs = tt.encrypt_bits(sk, s, seed=59)
+    g_and, g_xor = gates.gate2_pair("AND", "XOR", ca, cb, ca, cb, sk.cloud)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, g_and), a & b)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, g_xor), a ^ b)
+    m = gates.MUX(cs, ca, cb, sk.cloud)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, m), np.where(s, a, b))
