@@ -26,13 +26,14 @@ BASELINE_BOOTSTRAPS_PER_SEC = 454.0  # reference GPU, 32-bit gate batch (Table I
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    n_dev = len(jax.devices())
+    batch = int(os.environ.get("BENCH_BATCH", str(256 * n_dev)))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     params = tt.PARAMS_110
 
     t0 = time.time()
     sk = tt.keygen(params, seed=(314, 1592, 657))
-    print(f"# keygen: {time.time()-t0:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+    print(f"# keygen: {time.time()-t0:.1f}s on {n_dev} x {jax.devices()[0]}", file=sys.stderr)
 
     rng = np.random.RandomState(0)
     bits_a = rng.randint(0, 2, size=batch).astype(np.int32)
@@ -40,9 +41,18 @@ def main():
     ca = tt.encrypt_bits(sk, bits_a, seed=1)
     cb = tt.encrypt_bits(sk, bits_b, seed=2)
 
+    if n_dev > 1:
+        # multi-chip: DP-shard the gate batch over the mesh (bit coalescing
+        # across chips); throughput scales linearly with chips.
+        from tfhe_tpu.parallel import make_mesh, sharded_gate2
+        mesh = make_mesh(n_dev)
+        run = lambda x, y: sharded_gate2("AND", x, y, sk.cloud, mesh)
+    else:
+        run = lambda x, y: gates.AND(x, y, sk.cloud)
+
     # warmup (compile)
     t0 = time.time()
-    out = gates.AND(ca, cb, sk.cloud)
+    out = run(ca, cb)
     jax.block_until_ready(out)
     print(f"# first AND batch (compile+run): {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -53,7 +63,7 @@ def main():
 
     t0 = time.time()
     for _ in range(iters):
-        out = gates.AND(out, cb, sk.cloud)
+        out = run(out, cb)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / iters
     thr = batch / dt
