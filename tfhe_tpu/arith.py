@@ -70,21 +70,43 @@ def zero_like_bits(x: LweCiphertext, batch_shape) -> LweCiphertext:
 
 # --------------------------------------------------------------- adders
 
+import jax
+
+
+@jax.jit
+def _fa_stage_jit(ai, bi, carry, cloud):
+    """One full-adder stage (3 bootstrap rounds) as ONE dispatched program —
+    the per-bit latency is dominated by host round-trips otherwise."""
+    t0, t1 = gates.gate2_pair("XOR", "XOR", ai, carry, bi, carry, cloud)
+    t = gates.AND(t0, t1, cloud)
+    return gates.gate2_pair("XOR", "XOR", ai, t1, t, carry, cloud)
+
+
 def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Bitwise ripple-carry adder, the reference's fastest (GPU_1)
     (taskLevelParallelAdd_bitwise, main.cu:821-890). 3 bootstrap rounds per bit,
-    each batched over all leading axes; result has the same nbits (overflow
-    dropped, matching the reference)."""
+    each batched over all leading axes and fused into one program per bit;
+    result has the same nbits (overflow dropped, matching the reference)."""
     nbits = a.batch_shape[-1]
+    # fuse the 3-bootstrap stage into one program only while every gate fits a
+    # single chunk (otherwise the traced program would contain dozens of
+    # kernels, which the device tunnel's AOT compiler cannot handle)
+    flat = 1
+    for s in a.batch_shape[:-1]:
+        flat *= s
+    fused = 2 * flat <= gates.GATE_CHUNK
     # bit 0: sum = XOR, carry = AND, one compound bootstrap
     c0, s0 = gates.gate2_pair("AND", "XOR", a[..., 0], b[..., 0], a[..., 0], b[..., 0], cloud)
     sums = [s0]
     carry = c0
     for i in range(1, nbits):
         ai, bi = a[..., i], b[..., i]
-        t0, t1 = gates.gate2_pair("XOR", "XOR", ai, carry, bi, carry, cloud)
-        t = gates.AND(t0, t1, cloud)
-        si, carry = gates.gate2_pair("XOR", "XOR", ai, t1, t, carry, cloud)
+        if fused:
+            si, carry = _fa_stage_jit(ai, bi, carry, cloud)
+        else:
+            t0, t1 = gates.gate2_pair("XOR", "XOR", ai, carry, bi, carry, cloud)
+            t = gates.AND(t0, t1, cloud)
+            si, carry = gates.gate2_pair("XOR", "XOR", ai, t1, t, carry, cloud)
         sums.append(si)
     return lwe_stack(sums, axis=-1)
 
@@ -268,15 +290,30 @@ def minimum(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return gates.MUX(cmps, b, a, cloud)
 
 
+@jax.jit
+def _gt_stage_jit(ai, bi, cin, cloud):
+    """One comparator stage as one program: cin' = a ^ ((a^cin) & (b^cin))
+    (ref compareBit_g, Cipher.cpp:620-631)."""
+    t1, t2 = gates.gate2_pair("XOR", "XOR", ai, cin, bi, cin, cloud)
+    t = gates.AND(t1, t2, cloud)
+    return gates.XOR(ai, t, cloud)
+
+
 def gt(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Signed a > b -> 1-bit ciphertext (ref Cipher::operator>, Cipher.cpp:597-608)."""
     nbits = a.batch_shape[-1]
+    flat = 1
+    for s in a.batch_shape[:-1]:
+        flat *= s
+    fused = 2 * flat <= gates.GATE_CHUNK
     cin = zero_like_bits(a, a.batch_shape[:-1])
     for i in range(nbits):
-        # compareBit_g (Cipher.cpp:620-631): cin' = x ^ ((x^cin) & (y^cin))
-        t1, t2 = gates.gate2_pair("XOR", "XOR", a[..., i], cin, b[..., i], cin, cloud)
-        t = gates.AND(t1, t2, cloud)
-        cin = gates.XOR(a[..., i], t, cloud)
+        if fused:
+            cin = _gt_stage_jit(a[..., i], b[..., i], cin, cloud)
+        else:
+            t1, t2 = gates.gate2_pair("XOR", "XOR", a[..., i], cin, b[..., i], cin, cloud)
+            t = gates.AND(t1, t2, cloud)
+            cin = gates.XOR(a[..., i], t, cloud)
     sign = gates.XOR(a[..., nbits - 1], b[..., nbits - 1], cloud)
     return gates.XOR(sign, cin, cloud)
 
