@@ -272,9 +272,20 @@ def mul_karatsuba(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
 
 # --------------------------------------------------------------- comparisons
 
+@jax.jit
+def _compare_bit_jit(result, ai, bi, cloud):
+    t = gates.XNOR(ai, bi, cloud)
+    return gates.MUX(t, result, ai, cloud)
+
+
 def compare_bit(result, ai, bi, cloud):
     """One comparator stage (ref Cipher::compare_bit, Cipher.cpp:335-340):
-    result' = MUX(XNOR(a,b), result, a)."""
+    result' = MUX(XNOR(a,b), result, a) — fused into one program when small."""
+    flat = 1
+    for s in ai.batch_shape:
+        flat *= s
+    if 2 * flat <= gates.GATE_CHUNK:
+        return _compare_bit_jit(result, ai, bi, cloud)
     t = gates.XNOR(ai, bi, cloud)
     return gates.MUX(t, result, ai, cloud)
 
