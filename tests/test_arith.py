@@ -117,3 +117,38 @@ def test_mul_mux(toy_keys):
     out = arith.decrypt_int(sk, arith.mul_mux(ca, cb, sk.cloud))
     want = np.array([_signed(x * y) for x, y in zip(a, b)])
     np.testing.assert_array_equal(out, want)
+
+
+def test_cipher_increment_iadd(toy_keys):
+    """CipherInt increment / += (ref Cipher::operator++ / +=)."""
+    from tfhe_tpu.cipher import CipherInt
+    sk = toy_keys
+    x = CipherInt.encrypt(sk, 5, nbits=NB, seed=41)
+    y = CipherInt.encrypt(sk, -3, nbits=NB, seed=42)
+    assert int(x.increment().decrypt(sk)) == 6
+    x += y
+    assert int(x.decrypt(sk)) == 2
+
+
+def test_random_circuit_vs_plaintext(toy_keys):
+    """Property test: a random boolean circuit evaluated homomorphically
+    matches plaintext evaluation (the reference's differential methodology
+    generalized)."""
+    sk = toy_keys
+    rng = np.random.RandomState(99)
+    from tfhe_tpu import gates
+    import tfhe_tpu as tt
+    B = 6
+    wires_p = [rng.randint(0, 2, size=B).astype(np.int32) for _ in range(3)]
+    wires_c = [tt.encrypt_bits(sk, w, seed=200 + i) for i, w in enumerate(wires_p)]
+    ops = {"AND": np.logical_and, "OR": np.logical_or,
+           "XOR": np.logical_xor, "NAND": lambda x, y: ~(x & y) & 1,
+           "ANDYN": lambda x, y: x & (1 - y)}
+    names = list(ops)
+    for step in range(6):
+        i, j = rng.randint(0, len(wires_p), size=2)
+        name = names[rng.randint(0, len(names))]
+        wires_p.append(np.asarray(ops[name](wires_p[i], wires_p[j]), np.int32) & 1)
+        wires_c.append(gates.gate2(name, wires_c[i], wires_c[j], sk.cloud))
+    for w_p, w_c in zip(wires_p, wires_c):
+        np.testing.assert_array_equal(tt.decrypt_bits(sk, w_c), w_p)
