@@ -111,18 +111,35 @@ def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return lwe_stack(sums, axis=-1)
 
 
+@jax.jit
+def _gpun_stage_jit(result, tempb, cloud):
+    """One carry-save iteration (compound ANDXOR + carry shift) as one program."""
+    and_out, xor_out = gates.gate2_pair("AND", "XOR", result, tempb, result, tempb, cloud)
+    # tempb = and_out << 1 with encrypted FALSE at bit 0 (main.cu:656-700)
+    zero = gates.CONSTANT(jnp.zeros(result.batch_shape[:-1] + (1,), jnp.int32),
+                          result.a.shape[-1], result.batch_shape[:-1] + (1,))
+    return xor_out, lwe_concat([zero, and_out[..., :-1]], axis=-1)
+
+
 def add_numberwise(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Number-wise carry-save adder (GPU_n, taskLevelParallelAdd main.cu:619-652):
-    nbits iterations of one compound ANDXOR bootstrap over all bits."""
+    nbits iterations of one compound ANDXOR bootstrap over all bits, each
+    iteration fused into one program (when it fits one gate chunk)."""
     nbits = a.batch_shape[-1]
+    flat = 1
+    for s in a.batch_shape:
+        flat *= s
+    fused = 2 * flat <= gates.GATE_CHUNK
     result = a
     tempb = b
     for _ in range(nbits):
-        and_out, xor_out = gates.gate2_pair("AND", "XOR", result, tempb, result, tempb, cloud)
-        # tempb = and_out << 1 with encrypted FALSE at bit 0 (main.cu:656-700)
-        zero = zero_like_bits(a, a.batch_shape[:-1] + (1,))
-        tempb = lwe_concat([zero, and_out[..., :-1]], axis=-1)
-        result = xor_out
+        if fused:
+            result, tempb = _gpun_stage_jit(result, tempb, cloud)
+        else:
+            and_out, xor_out = gates.gate2_pair("AND", "XOR", result, tempb, result, tempb, cloud)
+            zero = zero_like_bits(a, a.batch_shape[:-1] + (1,))
+            tempb = lwe_concat([zero, and_out[..., :-1]], axis=-1)
+            result = xor_out
     return result
 
 
