@@ -171,24 +171,13 @@ def _rotate_packed(acc, bits_mask_fn, N, H):
     return rot
 
 
-def _scan_kernel_packed(params: TfheParams, B: int, last_j: int,
-                        bara_ref, bk_ref, bksh_ref, tw_ref, acc0_ref,
-                        out_ref, acc_scr):
-    """One CMux iteration on packed slabs; grid over the n key bits.
+def _cmux_iter(params: TfheParams, B: int, acc, a_slab, bk_u, bksh_u, tw_ref):
+    """One CMux iteration body on packed slabs.
 
-    bara_ref: int32[1, S, 1, 1] (rotation amount replicated per slab);
-    bk_ref/bksh_ref: uint32[1, P, kpl, k+1, H, 128];
-    tw_ref: uint32[P, NPLANES, H, 128]; acc/out: int32[(k+1)*B, H, 128]."""
+    acc: int32[(k+1)*B, H, 128]; a_slab: int32[S, 1, 1];
+    bk_u/bksh_u: uint32[P, kpl, k+1, H, 128] (this iteration's BK slice)."""
     N, k, l, kpl = params.N, params.k, params.bk_l, params.kpl
     H = N // LANE
-    j = pl.program_id(0)
-
-    @pl.when(j == 0)
-    def _():
-        acc_scr[...] = acc0_ref[...]
-
-    acc = acc_scr[...]
-    a_slab = bara_ref[0]                                    # [S, 1, 1]
 
     def bits_mask(kb):
         return ((a_slab >> kb) & 1) != 0                    # [S, 1, 1]
@@ -222,20 +211,40 @@ def _scan_kernel_packed(params: TfheParams, B: int, last_j: int,
         for c in range(k + 1):
             s = None
             for r in range(kpl):
-                w = bk_ref[0, pi, r, c][None]               # [1, H, 128]
-                wsh = bksh_ref[0, pi, r, c][None]
+                w = bk_u[pi, r, c][None]                    # [1, H, 128]
+                wsh = bksh_u[pi, r, c][None]
                 term = _shoup(dhat[r], w, wsh, p)
                 s = term if s is None else _addm(s, term, p)
             outs.append(s)
         prod = jnp.concatenate(outs, axis=0)                # [(k+1)*B, H, 128]
         residues.append(_inv_packed(prod, planes, n_fwd_planes, inv_plan, H, p, tabs))
     delta = _crt(residues[0], residues[1])
-    new = acc + jax.lax.bitcast_convert_type(delta, jnp.int32)
-    acc_scr[...] = new
+    return acc + jax.lax.bitcast_convert_type(delta, jnp.int32)
+
+
+def _scan_kernel_packed(params: TfheParams, B: int, last_j: int, unroll: int,
+                        bara_ref, bk_ref, bksh_ref, tw_ref, acc0_ref,
+                        out_ref, acc_scr):
+    """`unroll` CMux iterations per grid step on packed slabs (amortizes the
+    fixed per-step cost: grid sequencing + DMA waits dominate at tiny batch).
+
+    bara_ref: int32[unroll, S, 1, 1] (rotation amounts replicated per slab);
+    bk_ref/bksh_ref: uint32[unroll, P, kpl, k+1, H, 128];
+    tw_ref: uint32[P, NPLANES, H, 128]; acc/out: int32[(k+1)*B, H, 128]."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[...] = acc0_ref[...]
+
+    acc = acc_scr[...]
+    for u in range(unroll):
+        acc = _cmux_iter(params, B, acc, bara_ref[u], bk_ref[u], bksh_ref[u], tw_ref)
+    acc_scr[...] = acc
 
     @pl.when(j == last_j)
     def _():
-        out_ref[...] = new
+        out_ref[...] = acc
 
 
 def blind_rotate_fused_packed(acc_p: jnp.ndarray, bara: jnp.ndarray,
@@ -252,20 +261,27 @@ def blind_rotate_fused_packed(acc_p: jnp.ndarray, bara: jnp.ndarray,
     H = N // LANE
     n, B = bara.shape
     P = bk_ntt.shape[1]
+    import os
+    # unroll=2 speeds isolated tiny-batch gates ~15% but sharply slows
+    # programs containing several kernels (the fused adder stages); keep 1.
+    unroll = int(os.environ.get("TFHE_PACKED_UNROLL", "1"))
+    if n % unroll != 0:
+        unroll = 1
     bk6 = bk_ntt.reshape(n, P, kpl, k + 1, H, LANE)
     bksh6 = bk_ntt_shoup.reshape(n, P, kpl, k + 1, H, LANE)
     tw = jnp.asarray(_twiddle_planes(N, params.halfBg))
     NP = tw.shape[1]
-    kern = functools.partial(_scan_kernel_packed, params, B, n - 1)
+    steps = n // unroll
+    kern = functools.partial(_scan_kernel_packed, params, B, steps - 1, unroll)
     call = pl.pallas_call(
         kern,
-        grid=(n,),
+        grid=(steps,),
         in_specs=[
-            pl.BlockSpec((1, (k + 1) * B, 1, 1), lambda j: (j, 0, 0, 0),
+            pl.BlockSpec((unroll, (k + 1) * B, 1, 1), lambda j: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, kpl, k + 1, H, LANE), lambda j: (j, 0, 0, 0, 0, 0),
+            pl.BlockSpec((unroll, P, kpl, k + 1, H, LANE), lambda j: (j, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, kpl, k + 1, H, LANE), lambda j: (j, 0, 0, 0, 0, 0),
+            pl.BlockSpec((unroll, P, kpl, k + 1, H, LANE), lambda j: (j, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, NP, H, LANE), lambda j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(((k + 1) * B, H, LANE), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
