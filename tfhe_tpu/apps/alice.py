@@ -28,6 +28,7 @@ def main(argv=None):
     # reference seed semantics (main.cu:2724-2726, cpuParallel/main.cpp:21-22)
     sk = tt.keygen(params, seed=(314, 1592, 657))
 
+    os.makedirs(args.dir, exist_ok=True)
     with open(os.path.join(args.dir, "secret.key"), "wb") as f:
         tio.export_secret_keyset(f, sk)
     with open(os.path.join(args.dir, "cloud.key"), "wb") as f:

@@ -135,18 +135,38 @@ def generate_bootstrapping_key(key, lwe_key, tlwe_key, params: TfheParams):
     return bk
 
 
-def bk_to_ntt(bk_raw: np.ndarray, params: TfheParams) -> Tuple[np.ndarray, np.ndarray]:
-    """Convert the raw BK to NTT domain per CRT prime, with Shoup tables."""
+def bk_to_ntt_np(bk_raw: np.ndarray, params: TfheParams) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy BK -> NTT-domain conversion (no XLA on the keygen path)."""
     N = params.N
     outs, shoups = [], []
     for p in ntt.PRIMES:
-        res = ntt.i32_to_residue(jnp.asarray(bk_raw), p)
-        f = np.asarray(jax.jit(lambda r: ntt.ntt_forward(r, N, p))(res))
+        f = ntt.ntt_forward_np(ntt.i32_to_residue_np(bk_raw, p), N, p)
         outs.append(f)
         shoups.append(ntt.shoup(f, p))
-    bk_ntt = np.stack(outs, axis=1)        # [n, P, kpl, k+1, N]
-    bk_shoup = np.stack(shoups, axis=1)
-    return bk_ntt, bk_shoup
+    return np.stack(outs, axis=1), np.stack(shoups, axis=1)
+
+
+def cloud_from_raw(params: TfheParams, bk_raw: np.ndarray, ks_a: np.ndarray,
+                   ks_b: np.ndarray) -> CloudKey:
+    """Build the device CloudKey layouts from raw host key material.
+
+    Shared by keygen, the reference-PRNG keygen, and tfhe_io key import —
+    the TPU-native analog of the reference's key upload (`main.cu:50-507`),
+    minus its per-bit KS replication (broadcasting instead). All conversion
+    is numpy; only the final placement touches the accelerator.
+    """
+    import jax.numpy as jnp
+
+    bk_ntt, bk_shoup = bk_to_ntt_np(np.asarray(bk_raw), params)
+    ks_table = ks_to_limb_table(np.asarray(ks_a), np.asarray(ks_b), params)
+    return CloudKey(
+        params=params,
+        bk_ntt=jnp.asarray(bk_ntt),
+        bk_ntt_shoup=jnp.asarray(bk_shoup),
+        bk_rows=jnp.asarray(bk_rows_layout(bk_ntt)),
+        bk_rows_shoup=jnp.asarray(bk_rows_layout(bk_shoup)),
+        ks_table=jnp.asarray(ks_table),
+    )
 
 
 def generate_keyswitch_key(key, ext_key, lwe_key, params: TfheParams):
@@ -197,19 +217,16 @@ def ks_to_limb_table(ks_a: np.ndarray, ks_b: np.ndarray, params: TfheParams) -> 
     rows = n_ext * t * (base - 1)
     pad_cols = _pad_to(n + 1, 128)
     full = np.zeros((rows, pad_cols), np.uint32)
-    av = ks_a[:, :, 1:, :].reshape(rows, n).astype(np.int64).astype(np.uint32)
-    bv = ks_b[:, :, 1:].reshape(rows).astype(np.int64).astype(np.uint32)
-    full[:, :n] = av
-    full[:, n] = bv
+    full[:, :n] = ks_a[:, :, 1:, :].reshape(rows, n).view(np.uint32)
+    full[:, n] = ks_b[:, :, 1:].reshape(rows).view(np.uint32)
 
-    limbs = np.zeros((rows, 4, pad_cols), np.int8)
-    carry = np.zeros((rows, pad_cols), np.int64)
-    v = full.astype(np.int64)
+    # signed digits via borrow-save: bytes of v + 0x80808080, each minus 128,
+    # satisfy sum_l d_l * 2^(8l) == v (mod 2^32) with d_l in [-128, 127]
+    w = full + np.uint32(0x80808080)  # uint32 wrap
+    limbs = np.empty((rows, 4, pad_cols), np.int8)
     for l in range(4):
-        d = ((v >> (8 * l)) & 255) + carry
-        carry = (d > 127).astype(np.int64)
-        d = d - 256 * (d > 127)
-        limbs[:, l, :] = d.astype(np.int8)
+        limbs[:, l, :] = (((w >> np.uint32(8 * l)) & np.uint32(255))
+                          .astype(np.int16) - np.int16(128)).astype(np.int8)
     return limbs.reshape(rows, 4 * pad_cols)
 
 
@@ -226,19 +243,53 @@ def _keygen_core(params: TfheParams, root):
     bk_raw = generate_bootstrapping_key(k_bk, lwe_key, tlwe_key, params)
     ext_key = tlwe_key.reshape(params.n_extract)
     ks_a, ks_b = generate_keyswitch_key(k_ks, ext_key, lwe_key, params)
-    bk_ntt = jnp.stack(
-        [ntt.ntt_forward(ntt.i32_to_residue(bk_raw, p), params.N, p)
-         for p in ntt.PRIMES], axis=1)                       # [n, P, kpl, k+1, N]
-    return lwe_key, tlwe_key, bk_raw, ks_a, ks_b, bk_ntt
+    return lwe_key, tlwe_key, bk_raw, ks_a, ks_b
 
 
-def keygen(params: TfheParams, seed=(314, 1592, 657)) -> SecretKeySet:
+def keygen_reference(params: TfheParams, seed=(314, 1592, 657)) -> SecretKeySet:
+    """Keygen with the reference's exact PRNG (native C++, ~2 s, no XLA).
+
+    Keys are byte-identical to what the reference binaries produce from the
+    same seed (`main.cu:2724-2726` -> `tfhe_gate_bootstrapping.cu:57-68`);
+    see native/ref_fixtures.cpp for the draw-order derivation."""
+    from .. import ref_keygen
+
+    assert ref_keygen.params_match_reference(params), (
+        "reference-PRNG keygen only exists for the reference parameter set")
+    lwe_key, tlwe_key, ks_a, ks_b, bk_raw = ref_keygen.keygen_raw(seed)
+    return SecretKeySet(
+        params=params, lwe_key=lwe_key, tlwe_key=tlwe_key, bk_raw=bk_raw,
+        ks_a=ks_a, ks_b=ks_b,
+        cloud=cloud_from_raw(params, bk_raw, ks_a, ks_b), seed=seed)
+
+
+def keygen(params: TfheParams, seed=(314, 1592, 657), method: str = "auto") -> SecretKeySet:
     """Generate a full secret keyset + cloud keyset (ref tfhe_gate_bootstrapping.cu:57-70).
 
-    The key-derivation program always runs on the CPU backend: threefry is
-    bit-deterministic across backends, CPU compiles hit the persistent disk
-    cache (the TPU tunnel backend recompiles every process, ~2 min), and the
-    resulting cloud key is placed on the default (accelerator) device."""
+    method:
+      "reference" — the reference's std::default_random_engine draw order via
+        native C++ (keys byte-identical to the reference's; reference param
+        set only; no XLA involvement, ~2 s).
+      "threefry"  — jax threefry derivation (any param set; deterministic
+        across backends). The derivation program runs on the CPU backend:
+        CPU compiles hit the persistent disk cache, while the TPU tunnel
+        backend recompiles every process (~2 min).
+      "auto"      — "reference" when the param set matches the reference and
+        the native toolchain is available, else "threefry".
+    """
+    from .. import ref_keygen
+
+    if method == "auto":
+        method = "threefry"
+        if ref_keygen.params_match_reference(params):
+            try:
+                ref_keygen.build()
+                method = "reference"
+            except Exception:
+                pass
+    if method == "reference":
+        return keygen_reference(params, seed)
+
     root = _seed_to_key(seed)
     if jax.default_backend() != "cpu":
         cpu0 = jax.local_devices(backend="cpu")[0]
@@ -246,27 +297,15 @@ def keygen(params: TfheParams, seed=(314, 1592, 657)) -> SecretKeySet:
             out = _keygen_core(params, jax.device_put(root, cpu0))
     else:
         out = _keygen_core(params, root)
-    lwe_key, tlwe_key, bk_raw_np, ks_a_np, ks_b_np, bk_ntt = map(np.asarray, out)
+    lwe_key, tlwe_key, bk_raw_np, ks_a_np, ks_b_np = map(np.asarray, out)
 
-    bk_shoup = np.stack([ntt.shoup(bk_ntt[:, i], p)
-                         for i, p in enumerate(ntt.PRIMES)], axis=1)
-    ks_table = ks_to_limb_table(ks_a_np, ks_b_np, params)
-
-    cloud = CloudKey(
-        params=params,
-        bk_ntt=jnp.asarray(bk_ntt),
-        bk_ntt_shoup=jnp.asarray(bk_shoup),
-        bk_rows=jnp.asarray(bk_rows_layout(bk_ntt)),
-        bk_rows_shoup=jnp.asarray(bk_rows_layout(bk_shoup)),
-        ks_table=jnp.asarray(ks_table),
-    )
     return SecretKeySet(
         params=params,
-        lwe_key=np.asarray(lwe_key),
-        tlwe_key=np.asarray(tlwe_key),
+        lwe_key=lwe_key,
+        tlwe_key=tlwe_key,
         bk_raw=bk_raw_np,
         ks_a=ks_a_np,
         ks_b=ks_b_np,
-        cloud=cloud,
+        cloud=cloud_from_raw(params, bk_raw_np, ks_a_np, ks_b_np),
         seed=seed,
     )

@@ -164,6 +164,52 @@ def read_lwe_sample(f, n: int):
     return a, np.int32(b), cv
 
 
+def write_tlwe_sample(f, polys: np.ndarray, cv: float):
+    """ref write_tLweSample (tfhe_io.cu:308-321): UID + (k+1) polys of N Torus32
+    + cv(double). polys: int32[k+1, N]."""
+    _w_i32(f, TLWE_SAMPLE_TYPE_UID)
+    _w_arr_i32(f, polys)
+    f.write(struct.pack("<d", float(cv)))
+
+
+def read_tlwe_sample(f, k: int, N: int):
+    uid = _r_i32(f)
+    assert uid == TLWE_SAMPLE_TYPE_UID, uid
+    polys = _r_arr_i32(f, (k + 1) * N).reshape(k + 1, N)
+    cv = struct.unpack("<d", f.read(8))[0]
+    return polys, cv
+
+
+def write_tgsw_sample(f, rows: np.ndarray, cv: float):
+    """ref write_tGswSample (tfhe_io.cu:566-573): UID + kpl nested TLWE samples.
+    rows: int32[kpl, k+1, N]; cv is written into each row's TLWE sample."""
+    _w_i32(f, TGSW_SAMPLE_TYPE_UID)
+    for p in range(rows.shape[0]):
+        write_tlwe_sample(f, rows[p], cv)
+
+
+def read_tgsw_sample(f, kpl: int, k: int, N: int):
+    uid = _r_i32(f)
+    assert uid == TGSW_SAMPLE_TYPE_UID, uid
+    rows = np.empty((kpl, k + 1, N), np.int32)
+    cv = 0.0
+    for p in range(kpl):
+        rows[p], cv = read_tlwe_sample(f, k, N)
+    return rows, cv
+
+
+def write_tlwe_key_content(f, key: np.ndarray):
+    """ref write_tLweKey_content (tfhe_io.cu:406-414): UID + k polys of N ints.
+    key: int32[k, N]."""
+    _w_i32(f, TLWE_KEY_TYPE_UID)
+    _w_arr_i32(f, key)
+
+
+def read_tlwe_key_content(f, k: int, N: int) -> np.ndarray:
+    assert _r_i32(f) == TLWE_KEY_TYPE_UID
+    return _r_arr_i32(f, k * N).reshape(k, N)
+
+
 def write_lwe_key_content(f, key: np.ndarray):
     _w_i32(f, LWE_KEY_TYPE_UID)
     _w_arr_i32(f, key)
@@ -251,52 +297,38 @@ def export_cloud_keyset(f, sk) -> None:
     _write_lwe_bootstrapping_key(f, sk)
 
 
-def import_secret_keyset(f):
-    """Read a reference-format secret keyset file; returns a SecretKeySet with
-    freshly derived device cloud keys."""
-    from .core.keys import CloudKey, SecretKeySet, bk_to_ntt, ks_to_limb_table
-    import jax.numpy as jnp
-
-    params = read_gate_bootstrapping_params(f)
+def _read_bk_and_ks(f, params: TfheParams):
     t, p = _read_props(f)
     assert t == "LWEKSPARAMS", t
     ks_a, ks_b, _ = read_keyswitch_key_content(
         f, int(p["n"]), int(p["t"]), 1 << int(p["basebit"]), params.n)
     bk_raw, _ = read_bootstrapping_key_content(f, params.n, params.kpl, params.k, params.N)
+    return ks_a, ks_b, bk_raw
+
+
+def import_secret_keyset(f):
+    """Read a reference-format secret keyset file; returns a SecretKeySet with
+    freshly derived device cloud keys (ref new_tfheGateBootstrappingSecretKeySet
+    _fromFile, tfhe_io.cu:1146-1158)."""
+    from .core.keys import SecretKeySet, cloud_from_raw
+
+    params = read_gate_bootstrapping_params(f)
+    ks_a, ks_b, bk_raw = _read_bk_and_ks(f, params)
     lwe_key = read_lwe_key_content(f, params.n)
     tlwe_key = read_tgsw_key_content(f, params.k, params.N)
-
-    from .core.keys import bk_rows_layout
-    bk_ntt, bk_shoup = bk_to_ntt(bk_raw, params)
-    ks_table = ks_to_limb_table(ks_a, ks_b, params)
-    cloud = CloudKey(params=params, bk_ntt=jnp.asarray(bk_ntt),
-                     bk_ntt_shoup=jnp.asarray(bk_shoup),
-                     bk_rows=jnp.asarray(bk_rows_layout(bk_ntt)),
-                     bk_rows_shoup=jnp.asarray(bk_rows_layout(bk_shoup)),
-                     ks_table=jnp.asarray(ks_table))
     return SecretKeySet(params=params, lwe_key=lwe_key, tlwe_key=tlwe_key,
-                        bk_raw=bk_raw, ks_a=ks_a, ks_b=ks_b, cloud=cloud)
+                        bk_raw=bk_raw, ks_a=ks_a, ks_b=ks_b,
+                        cloud=cloud_from_raw(params, bk_raw, ks_a, ks_b))
 
 
 def import_cloud_keyset(f):
-    """Read a reference-format cloud keyset file -> (params, CloudKey)."""
-    from .core.keys import CloudKey, bk_to_ntt, ks_to_limb_table
-    import jax.numpy as jnp
+    """Read a reference-format cloud keyset file -> (params, CloudKey)
+    (ref new_tfheGateBootstrappingCloudKeySet_fromFile, tfhe_io.cu:1087-1103)."""
+    from .core.keys import cloud_from_raw
 
     params = read_gate_bootstrapping_params(f)
-    t, p = _read_props(f)
-    assert t == "LWEKSPARAMS", t
-    ks_a, ks_b, _ = read_keyswitch_key_content(
-        f, int(p["n"]), int(p["t"]), 1 << int(p["basebit"]), params.n)
-    bk_raw, _ = read_bootstrapping_key_content(f, params.n, params.kpl, params.k, params.N)
-    from .core.keys import bk_rows_layout
-    bk_ntt, bk_shoup = bk_to_ntt(bk_raw, params)
-    ks_table = ks_to_limb_table(ks_a, ks_b, params)
-    return params, CloudKey(params=params, bk_ntt=jnp.asarray(bk_ntt),
-                            bk_ntt_shoup=jnp.asarray(bk_shoup),
-                            bk_rows=jnp.asarray(bk_rows_layout(bk_ntt)),
-                            bk_rows_shoup=jnp.asarray(bk_rows_layout(bk_shoup)),
-                            ks_table=jnp.asarray(ks_table))
+    ks_a, ks_b, bk_raw = _read_bk_and_ks(f, params)
+    return params, cloud_from_raw(params, bk_raw, ks_a, ks_b)
 
 
 # ------------------------------------------------------------- ciphertexts

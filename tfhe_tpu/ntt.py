@@ -286,6 +286,39 @@ def ntt_inverse_rows(x, N: int, p: int):
 
 
 # --------------------------------------------------------------------------
+# Pure-numpy forward transform (keygen / key-import path)
+#
+# Key conversion (BK -> NTT domain) is one-shot host work; doing it in numpy
+# keeps XLA entirely off the keygen path (the axon TPU tunnel has no
+# persistent compile cache, so even a "cached" keygen compile costs minutes —
+# see keys.keygen).
+# --------------------------------------------------------------------------
+
+def ntt_forward_np(x: np.ndarray, N: int, p: int) -> np.ndarray:
+    """Numpy twin of ntt_forward: uint64 in [0,p) [..., N] natural order ->
+    uint32 [..., N] bit-reversed order. Exact (uint64 modmuls)."""
+    tabs = ntt_tables(N, p)
+    psi = tabs["psi_br"].astype(np.uint64)
+    x = np.ascontiguousarray(x, np.uint64)
+    batch = x.shape[:-1]
+    m = 1
+    while m < N:
+        xr = x.reshape(batch + (m, 2, N // (2 * m)))
+        u = xr[..., 0, :]
+        v = xr[..., 1, :]
+        s = psi[m:2 * m].reshape((1,) * len(batch) + (m, 1))
+        wv = (v * s) % p
+        x = np.stack([(u + wv) % p, (u - wv + p) % p], axis=-2).reshape(batch + (N,))
+        m *= 2
+    return x.astype(np.uint32)
+
+
+def i32_to_residue_np(x: np.ndarray, p: int) -> np.ndarray:
+    """Numpy twin of i32_to_residue: signed int32 -> uint64 residue in [0, p)."""
+    return (np.asarray(x).astype(np.int64) % p).astype(np.uint64)
+
+
+# --------------------------------------------------------------------------
 # CRT recombination to Torus32
 # --------------------------------------------------------------------------
 
