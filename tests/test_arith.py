@@ -105,6 +105,13 @@ def test_shifts(toy_keys):
     np.testing.assert_array_equal(ls, [_signed(x << 1) for x in a])
     rs = arith.decrypt_int(sk, arith.right_shift_arith(ca, 1))
     np.testing.assert_array_equal(rs, [x >> 1 for x in a])
+    # with the reference's negative-rounding correction (Cipher.cpp:470-480):
+    # negatives shift "like positive numbers", i.e. -4 >> 1 == -4/2 == -2,
+    # and -3 >> 1 rounds toward zero: int(-3/2) == -1
+    a2 = np.array([3, -4, -3, -7], np.int64)
+    ca2 = arith.encrypt_int(sk, a2, NB, seed=37)
+    rs2 = arith.decrypt_int(sk, arith.right_shift_arith(ca2, 1, sk.cloud))
+    np.testing.assert_array_equal(rs2, [(x >> 1) + (1 if x < 0 else 0) for x in a2])
 
 
 def test_mul_mux(toy_keys):

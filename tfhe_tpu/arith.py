@@ -168,15 +168,31 @@ def left_shift(a: LweCiphertext, k: int) -> LweCiphertext:
     return lwe_concat([zero, a[..., :-k]], axis=-1)
 
 
-def right_shift_arith(a: LweCiphertext, k: int) -> LweCiphertext:
-    """Arithmetic right shift, sign-extended (ref innerRightShift, Cipher.cpp:455-466,
-    without the negative-rounding correction step)."""
+def right_shift_arith(a: LweCiphertext, k: int, cloud=None) -> LweCiphertext:
+    """Arithmetic right shift, sign-extended (ref innerRightShift,
+    Cipher.cpp:455-481).
+
+    With `cloud` given, also applies the reference's negative-rounding
+    correction (Cipher.cpp:470-480): add `sign ? 1 : 0` so negative operands
+    shift like positives ("keeping the negative numbers like positive
+    numbers"); the MUX also refreshes the replicated sign bit's noise.
+    Without `cloud` the shift is the bootstrap-free sign extension only
+    (floor semantics — the reference's first loop, Cipher.cpp:461-466).
+    """
     if k == 0:
         return a
     nbits = a.batch_shape[-1]
     sign = a[..., nbits - 1:nbits]
     exts = lwe_concat([sign] * k, axis=-1)
-    return lwe_concat([a[..., k:], exts], axis=-1)
+    shifted = lwe_concat([a[..., k:], exts], axis=-1)
+    if cloud is None:
+        return shifted
+    one = gates.CONSTANT(1, a.n, sign.batch_shape)
+    zero = gates.CONSTANT(0, a.n, sign.batch_shape)
+    lsb = gates.MUX(sign, one, zero, cloud)               # sign ? 1 : 0
+    to_add = lwe_concat(
+        [lsb, zero_like_bits(a, a.batch_shape[:-1] + (nbits - 1,))], axis=-1)
+    return add(shifted, to_add, cloud)
 
 
 # --------------------------------------------------------------- multiplier

@@ -70,7 +70,7 @@ class CipherInt:
         return self._wrap(arith.left_shift(self.ct, k))
 
     def __rshift__(self, k: int) -> "CipherInt":
-        return self._wrap(arith.right_shift_arith(self.ct, k))
+        return self._wrap(arith.right_shift_arith(self.ct, k, self.cloud))
 
     # ---- comparisons (1-bit results, ref Cipher.cpp:597-644) ----------
     def __gt__(self, o: "CipherInt") -> LweCiphertext:
@@ -91,11 +91,8 @@ class CipherInt:
 
     def increment(self) -> "CipherInt":
         """self + 1 (ref Cipher::operator++, Cipher.h:49 / Cipher.cpp:228-242)."""
-        one = CipherInt.trivial(1, self.nbits, self.cloud)
-        if self.batch_shape:
-            one = CipherInt.trivial(np.ones(self.batch_shape, np.int64),
-                                    self.nbits, self.cloud)
-        return self + one
+        value = np.ones(self.batch_shape, np.int64) if self.batch_shape else 1
+        return self + CipherInt.trivial(value, self.nbits, self.cloud)
 
     def __iadd__(self, o: "CipherInt") -> "CipherInt":
         return self + o

@@ -246,8 +246,13 @@ def _chunked_over_batch(impl, x: LweCiphertext, chunk: int):
 
     The TPU analog of the reference's bootsLimit GPU-memory batching
     (boot-gates.cu:2869-2907): bounds VMEM for the fused kernel AND keeps the
-    key-switch one-hot operand (B x 24576 int8) out of HBM for huge batches
-    (e.g. the 16x16 matrix multiply's million-gate AND stage)."""
+    key-switch one-hot operand (B x 24576 int8) out of HBM.
+
+    Reachable only from direct `bootstrap` calls and shard_map local bodies
+    with an oversized per-chip batch: the gate layer (gates.py) chunks every
+    workload to GATE_CHUNK in Python *before* bootstrap is called, because
+    the axon AOT compiler stalls on lax.map-wrapped Pallas kernels. On such
+    backends keep per-call batches <= chunk so this path stays un-traced."""
     B = x.b.shape[0]
     if B <= chunk:
         return impl(x)

@@ -37,38 +37,59 @@ def t32tod(x):
     return jnp.asarray(x, jnp.int32).astype(jnp.float32) / (2.0 ** 32)
 
 
+def _is_pow2(Msize: int) -> bool:
+    return Msize & (Msize - 1) == 0
+
+
+def _u32_np(x) -> "np.ndarray":
+    import numpy as np
+    return (np.asarray(x).astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
+
+
 def mod_switch_from_torus32(phase, Msize: int):
     """Nearest multiple index: round(phase * Msize / 2^32) mod Msize.
 
-    Exact port of ref numeric-functions.cu:60-67 for power-of-two Msize
-    (the only case used: Msize = 2N). Returns int32 in [0, Msize).
-    """
-    assert Msize & (Msize - 1) == 0, "power-of-two message space only"
-    shift = 32 - Msize.bit_length() + 1  # 32 - log2(Msize)
-    half = jnp.uint32(1 << (shift - 1))
-    u = to_u32(phase) + half  # wrap-exact: (phase mod 2^32 + half) mod 2^32
-    return to_i32((u >> shift) % jnp.uint32(Msize))
+    Exact port of ref numeric-functions.cu:60-67. Power-of-two Msize (the hot
+    case, Msize = 2N) is a jit-safe shift path; arbitrary Msize uses the
+    reference's uint64 formula on concrete (host) values."""
+    if _is_pow2(Msize):
+        shift = 32 - Msize.bit_length() + 1  # 32 - log2(Msize)
+        half = jnp.uint32(1 << (shift - 1))
+        u = to_u32(phase) + half  # wrap-exact: (phase mod 2^32 + half) mod 2^32
+        return to_i32((u >> shift) % jnp.uint32(Msize))
+    import numpy as np
+    interv = np.uint64((((1 << 63) // Msize) * 2) & 0xFFFFFFFFFFFFFFFF)
+    phase64 = (_u32_np(phase) << np.uint64(32)) + interv // np.uint64(2)  # u64 wrap
+    return jnp.asarray((phase64 // interv).astype(np.int64), jnp.int32)
 
 
 def mod_switch_to_torus32(mu, Msize: int):
-    """mu -> Torus32 value mu/Msize (ref numeric-functions.cu:72-78).
-
-    For power-of-two Msize: mu * 2^32/Msize mod 2^32 (uint32 wrap).
-    """
-    assert Msize & (Msize - 1) == 0, "power-of-two message space only"
-    interv = ((1 << 63) // Msize) * 2
-    step = jnp.uint32((interv >> 32) & 0xFFFFFFFF)
-    return to_i32(to_u32(jnp.asarray(mu, jnp.int32)) * step)
+    """mu -> Torus32 value mu/Msize (ref numeric-functions.cu:72-78)."""
+    if _is_pow2(Msize):
+        interv = ((1 << 63) // Msize) * 2
+        step = jnp.uint32((interv >> 32) & 0xFFFFFFFF)
+        return to_i32(to_u32(jnp.asarray(mu, jnp.int32)) * step)
+    import numpy as np
+    interv = np.uint64((((1 << 63) // Msize) * 2) & 0xFFFFFFFFFFFFFFFF)
+    phase64 = (np.asarray(mu).astype(np.int64).astype(np.uint64)) * interv  # wrap
+    return jnp.asarray(((phase64 >> np.uint64(32)) & np.uint64(0xFFFFFFFF))
+                       .astype(np.int64).astype(np.int32))
 
 
 def approx_phase(phase, Msize: int):
     """Round phase to the nearest multiple of 1/Msize (ref numeric-functions.cu:47-56)."""
-    assert Msize & (Msize - 1) == 0
-    shift = 32 - Msize.bit_length() + 1
-    half = jnp.uint32(1 << (shift - 1))
-    u = to_u32(phase) + half
-    u = (u >> shift) << shift
-    return to_i32(u)
+    if _is_pow2(Msize):
+        shift = 32 - Msize.bit_length() + 1
+        half = jnp.uint32(1 << (shift - 1))
+        u = to_u32(phase) + half
+        u = (u >> shift) << shift
+        return to_i32(u)
+    import numpy as np
+    interv = np.uint64((((1 << 63) // Msize) * 2) & 0xFFFFFFFFFFFFFFFF)
+    phase64 = (_u32_np(phase) << np.uint64(32)) + interv // np.uint64(2)
+    phase64 -= phase64 % interv
+    return jnp.asarray(((phase64 >> np.uint64(32)) & np.uint64(0xFFFFFFFF))
+                       .astype(np.int64).astype(np.int32))
 
 
 def gaussian32(message, sigma: float, key):

@@ -189,7 +189,7 @@ def _ntt_forward_np(x: np.ndarray, N: int, p: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddle_stack(N: int, half_bg: int = 512):
+def _twiddle_stack(N: int, half_bg: int):
     """uint32[P, N, C] twiddle columns.
 
     cols 0..3: psi_br, psi_br_shoup, ipsi_br, ipsi_br_shoup (vector stages).

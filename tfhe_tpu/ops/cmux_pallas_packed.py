@@ -20,6 +20,8 @@ Exact integer math, bit-identical to the XLA path and the lane-layout kernel.
 from __future__ import annotations
 
 import functools
+import os
+import warnings
 
 import numpy as np
 import jax
@@ -28,6 +30,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import ntt
+
+# Grid-unroll factor, read ONCE at import (jit caches by shape, so a
+# trace-time env read would silently keep the first compile's value).
+# unroll=2 speeds isolated tiny-batch gates ~15% but sharply slows programs
+# containing several kernels (the fused adder stages); default 1.
+PACKED_UNROLL = int(os.environ.get("TFHE_PACKED_UNROLL", "1"))
 from ..params import TfheParams
 from .cmux_pallas import _shoup, _addm, _subm, _crt, _ntt_forward_np
 
@@ -261,11 +269,9 @@ def blind_rotate_fused_packed(acc_p: jnp.ndarray, bara: jnp.ndarray,
     H = N // LANE
     n, B = bara.shape
     P = bk_ntt.shape[1]
-    import os
-    # unroll=2 speeds isolated tiny-batch gates ~15% but sharply slows
-    # programs containing several kernels (the fused adder stages); keep 1.
-    unroll = int(os.environ.get("TFHE_PACKED_UNROLL", "1"))
+    unroll = PACKED_UNROLL
     if n % unroll != 0:
+        warnings.warn(f"TFHE_PACKED_UNROLL={unroll} does not divide n={n}; using 1")
         unroll = 1
     bk6 = bk_ntt.reshape(n, P, kpl, k + 1, H, LANE)
     bksh6 = bk_ntt_shoup.reshape(n, P, kpl, k + 1, H, LANE)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -30,7 +31,6 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    import numpy as np
     return Mesh(np.array(devs), (axis_name,))
 
 
@@ -103,7 +103,13 @@ def sharded_gate2_tp_ks(name: str, x: LweCiphertext, y: LweCiphertext, cloud,
     const, ca, cb = gates.GATE_TABLE[name]
     dp_size, ks_size = mesh.devices.shape
     params = cloud.params
-    rows_per = cloud.ks_table.shape[0] // ks_size
+    batch = int(np.prod(x.batch_shape)) if x.batch_shape else 1
+    assert batch % (dp_size * ks_size) == 0, (
+        f"batch {batch} must divide over the {dp_size}x{ks_size} mesh")
+    assert params.n_extract % ks_size == 0, (
+        f"n_extract {params.n_extract} not divisible by ks={ks_size}")
+    assert cloud.ks_table.shape[0] % ks_size == 0, (
+        f"KS table rows {cloud.ks_table.shape[0]} not divisible by ks={ks_size}")
     cols_per = params.n_extract // ks_size
 
     # ciphertext batch sharded over the flattened (dp, ks) axes
