@@ -16,7 +16,7 @@ Layer map (SURVEY.md section 1 -> this package):
   parallel scaling   -> tfhe_tpu.parallel
 """
 
-from .params import TfheParams, PARAMS_110, PARAMS_TOY, PARAMS_SMALL
+from .params import TfheParams, PARAMS_110, PARAMS_TOY, PARAMS_SMALL, PARAMS_SMALL_NOISY
 from .core.keys import keygen, SecretKeySet, CloudKey
 from .core.lwe import LweCiphertext
 from .core.crypt import encrypt_bits, decrypt_bits, decrypt_phase, lwe_encrypt, lwe_phase

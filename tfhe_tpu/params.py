@@ -104,3 +104,10 @@ PARAMS_SMALL = TfheParams(
     n=64, N=256, k=1, bk_l=2, bk_Bgbit=10, ks_basebit=2, ks_t=8,
     ks_stdev=0.0, bk_stdev=0.0, max_stdev=1.0,
 )
+
+# PARAMS_SMALL with the reference's noise levels: real gaussian encryption /
+# key noise at a ring size that still runs fast on CPU. Used by the
+# multi-chip dry run so sharded decryption is checked under actual noise.
+PARAMS_SMALL_NOISY = TfheParams(
+    n=64, N=256, k=1, bk_l=2, bk_Bgbit=10, ks_basebit=2, ks_t=8,
+)
