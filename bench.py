@@ -61,12 +61,38 @@ def main():
     want = bits_a & bits_b
     assert np.array_equal(got, want), "AND gate decryption mismatch!"
 
+    # on-hardware kernel differential: fused Pallas blind rotate vs the
+    # pure-XLA scan must produce IDENTICAL ciphertexts (the reference's own
+    # GPU-vs-CPU differential method, SURVEY.md section 4.3, run on-device).
+    pallas_verified = False
+    if jax.default_backend() != "cpu":
+        from tfhe_tpu import gates as _g
+        from tfhe_tpu.core import bootstrap as bs
+        const, cfa, cfb = _g.GATE_TABLE["AND"]
+        tv = _g._affine2(ca[:32], cb[:32], jnp.int32(const), jnp.int32(cfa), jnp.int32(cfb))
+        os.environ["TFHE_TPU_PALLAS"] = "1"
+        o_p = jax.jit(lambda x, ck: bs.bootstrap(x, jnp.int32(_g.MU), ck))(tv, sk.cloud)
+        os.environ["TFHE_TPU_PALLAS"] = "0"
+        o_x = jax.jit(lambda x, ck: bs.bootstrap(x, jnp.int32(_g.MU), ck))(tv, sk.cloud)
+        del os.environ["TFHE_TPU_PALLAS"]
+        pallas_verified = bool(
+            np.array_equal(np.asarray(o_p.a), np.asarray(o_x.a))
+            and np.array_equal(np.asarray(o_p.b), np.asarray(o_x.b)))
+        assert pallas_verified, "Pallas kernel != XLA path on hardware!"
+        print("# pallas-vs-XLA on-device differential: identical ciphertexts",
+              file=sys.stderr)
+
+    # warm the chained signature (jit + output layouts) before timing
+    out = run(out, cb)
+    np.asarray(out.b)
     t0 = time.time()
     for _ in range(iters):
         out = run(out, cb)
-    jax.block_until_ready(out)
+    np.asarray(out.b)  # device->host fetch = hard sync inside the timed region
     dt = (time.time() - t0) / iters
     thr = batch / dt
+    # integrity: the chained output must still decrypt to a & b (AND idempotent)
+    assert np.array_equal(tt.decrypt_bits(sk, out), want), "chained AND mismatch!"
 
     print(f"# {batch} bootstraps in {dt*1000:.1f} ms -> {thr:.1f} bootstraps/s", file=sys.stderr)
     print(json.dumps({
@@ -74,6 +100,7 @@ def main():
         "value": round(thr, 2),
         "unit": "bootstraps/s",
         "vs_baseline": round(thr / BASELINE_BOOTSTRAPS_PER_SEC, 3),
+        "pallas_verified": pallas_verified,
     }))
 
 

@@ -96,6 +96,27 @@ def _flat_batch(ct: LweCiphertext) -> int:
     return B
 
 
+def _bucket(B: int) -> int:
+    """Round a flat batch up to the next power of two.
+
+    Keeps the number of DISTINCT compiled gate programs logarithmic in
+    workload size: without it, tree-reduction circuits (multiplier/matmul
+    accumulation) emit a different remainder batch at every level and every
+    matrix size, and the axon TPU backend recompiles each (~30-70 s, no
+    persistent cache) — ~15 min of one-time compiles on the 16x16 matmul.
+    Padded lanes are trivial zeros; cost is bounded by 2x on the padded tail
+    chunk only."""
+    return 1 << max(B - 1, 0).bit_length()
+
+
+def _pad_flat(ct: LweCiphertext, Bp: int) -> LweCiphertext:
+    """Pad a flat-batched ciphertext with trivial zeros up to batch Bp."""
+    B = ct.batch_shape[0]
+    if Bp == B:
+        return ct
+    return lwe_concat([ct, noiseless_trivial(jnp.int32(0), ct.n, (Bp - B,))], axis=0)
+
+
 def gate2(name: str, x: LweCiphertext, y: LweCiphertext, cloud) -> LweCiphertext:
     """Generic bootstrapped 2-input gate; batch shapes must match."""
     const, ca, cb = GATE_TABLE[name]
@@ -107,6 +128,12 @@ def gate2(name: str, x: LweCiphertext, y: LweCiphertext, cloud) -> LweCiphertext
                       yf[s:min(s + GATE_CHUNK, B)], cloud)
                 for s in range(0, B, GATE_CHUNK)]
         return lwe_concat(outs, axis=0).reshape(shape)
+    Bp = _bucket(B)
+    if Bp != B:
+        shape = x.batch_shape
+        out = _gate2_jit(_pad_flat(x.reshape(B), Bp), _pad_flat(y.reshape(B), Bp),
+                         jnp.int32(const), jnp.int32(ca), jnp.int32(cb), cloud)
+        return out[:B].reshape(shape)
     return _gate2_jit(x, y, jnp.int32(const), jnp.int32(ca), jnp.int32(cb), cloud)
 
 
@@ -132,6 +159,15 @@ def gate2_pair(name1: str, name2: str, x1, y1, x2, y2, cloud):
             outs2.append(o2)
         return (lwe_concat(outs1, axis=0).reshape(shape),
                 lwe_concat(outs2, axis=0).reshape(shape))
+    Bp = _bucket(B)
+    if Bp != B:
+        shape = x1.batch_shape
+        o1, o2 = _gate2_pair_jit(
+            _pad_flat(x1.reshape(B), Bp), _pad_flat(y1.reshape(B), Bp),
+            _pad_flat(x2.reshape(B), Bp), _pad_flat(y2.reshape(B), Bp),
+            jnp.int32(c1), jnp.int32(a1), jnp.int32(b1),
+            jnp.int32(c2), jnp.int32(a2), jnp.int32(b2), cloud)
+        return o1[:B].reshape(shape), o2[:B].reshape(shape)
     return _gate2_pair_jit(x1, y1, x2, y2,
                            jnp.int32(c1), jnp.int32(a1), jnp.int32(b1),
                            jnp.int32(c2), jnp.int32(a2), jnp.int32(b2), cloud)
@@ -179,6 +215,12 @@ def MUX(a: LweCiphertext, b: LweCiphertext, c: LweCiphertext, cloud) -> LweCiphe
                     cf[s:min(s + half, B)], cloud)
                 for s in range(0, B, half)]
         return lwe_concat(outs, axis=0).reshape(shape)
+    Bp = _bucket(B)
+    if Bp != B:
+        shape = a.batch_shape
+        out = _mux_jit(_pad_flat(a.reshape(B), Bp), _pad_flat(b.reshape(B), Bp),
+                       _pad_flat(c.reshape(B), Bp), cloud)
+        return out[:B].reshape(shape)
     return _mux_jit(a, b, c, cloud)
 
 

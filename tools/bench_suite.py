@@ -45,14 +45,20 @@ REF_GPU = {
 }
 
 
+def _sync(out):
+    """Hard sync: device->host fetch (block_until_ready alone has returned
+    early through the axon tunnel; only a fetch is trustworthy)."""
+    np.asarray(out.b if hasattr(out, "b") else out)
+
+
 def _timed(fn, *args, warmup=True):
     """Compile+run once (warmup), then time one execution."""
     if warmup:
         out = fn(*args)
-        jax.block_until_ready(out.b if hasattr(out, "b") else out)
+        _sync(out)
     t0 = time.time()
     out = fn(*args)
-    jax.block_until_ready(out.b if hasattr(out, "b") else out)
+    _sync(out)
     return time.time() - t0, out
 
 
@@ -61,9 +67,34 @@ def _signed(v, nb):
     return v - (1 << nb) if v & (1 << (nb - 1)) else v
 
 
+def _timed_chain(fn, x, y, iters=20):
+    """Steady-state latency of a *dependent* gate chain: warm the chain
+    (compiles AND output-layout recompiles), then time `iters` serially
+    dependent calls (out <- fn(out, y)) ending with a real device->host
+    fetch — block_until_ready alone has returned early through the axon
+    tunnel, so only a fetch inside the timed region is trustworthy.
+
+    This is the latency a gate has inside a circuit (the adders/multipliers
+    run exactly such chains) and matches the reference's measurement
+    conditions: the GTX 1080 numbers contain microsecond-scale local kernel
+    launches, not this environment's ~10-20 ms per-dispatch network RTT to
+    the tunneled TPU, which single-shot timing would add to every row."""
+    out = fn(x, y)
+    for _ in range(3):   # warm the chained signature (jit + layouts)
+        out = fn(out, y)
+    np.asarray(out.b)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(out, y)
+    np.asarray(out.b)    # fetch = hard sync inside the timed region
+    return (time.time() - t0) / iters, out
+
+
 def bench_gates(sk, report):
-    """Table IV: one coalesced AND batch of n bits, n in {2,4,8,16,32},
-    plus a large-batch throughput row."""
+    """Table IV: one coalesced AND batch of n bits, n in {2,4,8,16,32}.
+
+    `s` is steady-state chained-gate latency (see _timed_chain); the
+    single-dispatch wall time (incl. tunnel RTT) is kept as `single_shot_s`."""
     rows = {}
     for nb in (2, 4, 8, 16, 32):
         rng = np.random.RandomState(nb)
@@ -71,13 +102,17 @@ def bench_gates(sk, report):
         b = rng.randint(0, 2, size=nb).astype(np.int32)
         ca = tt.encrypt_bits(sk, a, seed=100 + nb)
         cb = tt.encrypt_bits(sk, b, seed=200 + nb)
-        dt, out = _timed(lambda x, y: gates.AND(x, y, sk.cloud), ca, cb)
+        fn = lambda x, y: gates.AND(x, y, sk.cloud)
+        dt1, out = _timed(fn, ca, cb)
+        dt, out = _timed_chain(fn, ca, cb)
+        # chain of 11 ANDs with constant b: out = a & b after the chain
         got = tt.decrypt_bits(sk, out)
         assert np.array_equal(got, a & b), f"gate batch {nb} mismatch"
         ref = REF_GPU["gate_batch"].get(nb)
-        rows[nb] = {"s": round(dt, 5), "ref_gpu_s": ref,
+        rows[nb] = {"s": round(dt, 5), "single_shot_s": round(dt1, 5),
+                    "ref_gpu_s": ref,
                     "speedup": round(ref / dt, 2) if ref else None}
-        print(f"  AND batch {nb:3d} bits: {dt*1e3:8.1f} ms   (ref GPU {ref*1e3 if ref else 0:.1f} ms)", flush=True)
+        print(f"  AND batch {nb:3d} bits: {dt*1e3:8.1f} ms steady / {dt1*1e3:.1f} ms single  (ref GPU {ref*1e3 if ref else 0:.1f} ms)", flush=True)
     report["gate_batch"] = rows
 
 
@@ -94,26 +129,43 @@ def bench_compound(sk, report):
     def compound(x, y):
         return gates.gate2_pair("AND", "XOR", x, y, x, y, sk.cloud)
 
-    dt_c, (g_and, g_xor) = _timed_multi(compound, ca, cb)
-    assert np.array_equal(tt.decrypt_bits(sk, g_and), a & b)
-    assert np.array_equal(tt.decrypt_bits(sk, g_xor), a ^ b)
-
     def sequential(x, y):
         return gates.AND(x, y, sk.cloud), gates.XOR(x, y, sk.cloud)
 
-    dt_s, _ = _timed_multi(sequential, ca, cb)
+    def chain2(fn, iters=30):
+        o1, o2 = fn(ca, cb)
+        for _ in range(3):
+            o1, o2 = fn(o1, o2)
+        np.asarray(o1.b), np.asarray(o2.b)
+        t0 = time.time()
+        for _ in range(iters):
+            o1, o2 = fn(o1, o2)
+        np.asarray(o1.b), np.asarray(o2.b)   # hard sync inside timed region
+        return (time.time() - t0) / iters, (o1, o2)
+
+    dt_c1, (g_and, g_xor) = _timed_multi(compound, ca, cb)
+    assert np.array_equal(tt.decrypt_bits(sk, g_and), a & b)
+    assert np.array_equal(tt.decrypt_bits(sk, g_xor), a ^ b)
+    dt_c, _ = chain2(compound)
+    dt_s1, _ = _timed_multi(sequential, ca, cb)
+    dt_s, _ = chain2(sequential)
     report["compound_gate"] = {
         "compound_s": round(dt_c, 4), "sequential_2_gates_s": round(dt_s, 4),
+        "compound_single_shot_s": round(dt_c1, 4),
+        "sequential_single_shot_s": round(dt_s1, 4),
         "ref_gpu_compound_s": 0.02, "ref_gpu_sequential_s": 0.04}
-    print(f"  AND||XOR compound: {dt_c*1e3:.1f} ms   2 sequential: {dt_s*1e3:.1f} ms", flush=True)
+    print(f"  AND||XOR compound: {dt_c*1e3:.1f} ms   2 sequential: {dt_s*1e3:.1f} ms  "
+          f"(single-shot {dt_c1*1e3:.1f} / {dt_s1*1e3:.1f} ms)", flush=True)
 
 
 def _timed_multi(fn, *args):
     out = fn(*args)
-    jax.block_until_ready([o.b for o in out])
+    for o in out:
+        _sync(o)
     t0 = time.time()
     out = fn(*args)
-    jax.block_until_ready([o.b for o in out])
+    for o in out:
+        _sync(o)
     return time.time() - t0, out
 
 
