@@ -52,3 +52,40 @@ def test_cloud_keyset_and_ciphertext_roundtrip(toy_keys):
     from tfhe_tpu import gates
     out = gates.AND(ct2, ct2, cloud)
     np.testing.assert_array_equal(tt.decrypt_bits(sk, out), bits)
+
+
+def test_tlwe_tgsw_sample_roundtrip(toy_keys):
+    """TLWE/TGSW sample and TLweKey blocks (UIDs 84/168/85,
+    ref tfhe_io.cu:300-420, 566-600, 406-414) round-trip bit-exactly."""
+    sk = toy_keys
+    params = sk.params
+    rng = np.random.RandomState(42)
+    k, N, kpl = params.k, params.N, params.kpl
+
+    polys = rng.randint(-(2 ** 31), 2 ** 31, size=(k + 1, N)).astype(np.int32)
+    buf = pyio.BytesIO()
+    tio.write_tlwe_sample(buf, polys, 0.125)
+    buf.seek(0)
+    polys2, cv = tio.read_tlwe_sample(buf, k, N)
+    np.testing.assert_array_equal(polys2, polys)
+    assert cv == 0.125
+
+    rows = rng.randint(-(2 ** 31), 2 ** 31, size=(kpl, k + 1, N)).astype(np.int32)
+    buf = pyio.BytesIO()
+    tio.write_tgsw_sample(buf, rows, 0.5)
+    buf.seek(0)
+    rows2, cv = tio.read_tgsw_sample(buf, kpl, k, N)
+    np.testing.assert_array_equal(rows2, rows)
+    assert cv == 0.5
+
+    buf = pyio.BytesIO()
+    tio.write_tlwe_key_content(buf, sk.tlwe_key)
+    buf.seek(0)
+    np.testing.assert_array_equal(tio.read_tlwe_key_content(buf, k, N), sk.tlwe_key)
+
+    # a real BK row is a TGSW sample: serialize one and check content equality
+    buf = pyio.BytesIO()
+    tio.write_tgsw_sample(buf, sk.bk_raw[0], float(params.bk_stdev) ** 2)
+    buf.seek(0)
+    row2, _ = tio.read_tgsw_sample(buf, kpl, k, N)
+    np.testing.assert_array_equal(row2, sk.bk_raw[0])

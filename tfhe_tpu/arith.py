@@ -73,13 +73,27 @@ def zero_like_bits(x: LweCiphertext, batch_shape) -> LweCiphertext:
 import jax
 
 
+def _fa_stage(ai, bi, carry, cloud):
+    """One full-adder stage in 4 bootstraps (vs the reference's 5-gate form,
+    paper section V-A3 / main.cu:821-890):
+
+        t   = a XOR b                      (1 bootstrap)
+        sum = t XOR cin                    (1)
+        cout= MUX(t, cin, a) = maj(a,b,cin)  (2 bootstraps, 1 key switch)
+
+    20% fewer bootstraps than XORXOR/AND/XORXOR; dominates every adder-heavy
+    workload (adds, multiplier trees, matrix multiplies)."""
+    t = gates.XOR(ai, bi, cloud)
+    si = gates.XOR(t, carry, cloud)
+    carry = gates.MUX(t, carry, ai, cloud)
+    return si, carry
+
+
 @jax.jit
 def _fa_stage_jit(ai, bi, carry, cloud):
-    """One full-adder stage (3 bootstrap rounds) as ONE dispatched program —
-    the per-bit latency is dominated by host round-trips otherwise."""
-    t0, t1 = gates.gate2_pair("XOR", "XOR", ai, carry, bi, carry, cloud)
-    t = gates.AND(t0, t1, cloud)
-    return gates.gate2_pair("XOR", "XOR", ai, t1, t, carry, cloud)
+    """_fa_stage as ONE dispatched program — the per-bit latency is dominated
+    by host round-trips otherwise."""
+    return _fa_stage(ai, bi, carry, cloud)
 
 
 def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
@@ -104,9 +118,7 @@ def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
         if fused:
             si, carry = _fa_stage_jit(ai, bi, carry, cloud)
         else:
-            t0, t1 = gates.gate2_pair("XOR", "XOR", ai, carry, bi, carry, cloud)
-            t = gates.AND(t0, t1, cloud)
-            si, carry = gates.gate2_pair("XOR", "XOR", ai, t1, t, carry, cloud)
+            si, carry = _fa_stage(ai, bi, carry, cloud)
         sums.append(si)
     return lwe_stack(sums, axis=-1)
 
@@ -336,11 +348,11 @@ def minimum(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
 
 @jax.jit
 def _gt_stage_jit(ai, bi, cin, cloud):
-    """One comparator stage as one program: cin' = a ^ ((a^cin) & (b^cin))
-    (ref compareBit_g, Cipher.cpp:620-631)."""
-    t1, t2 = gates.gate2_pair("XOR", "XOR", ai, cin, bi, cin, cloud)
-    t = gates.AND(t1, t2, cloud)
-    return gates.XOR(ai, t, cloud)
+    """One comparator stage as one program: cin' = MUX(a^b, a, cin)
+    (3 bootstraps; equivalent to ref compareBit_g's a ^ ((a^cin) & (b^cin)),
+    Cipher.cpp:620-631, which needs 4)."""
+    t = gates.XOR(ai, bi, cloud)
+    return gates.MUX(t, ai, cin, cloud)
 
 
 def gt(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
@@ -416,6 +428,10 @@ def div(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     nbits = a.batch_shape[-1]
     abs_a = absolute(a, cloud)
     abs_b = absolute(b, cloud)
+    # -|b| hoisted out of the loop (the reference's divInternal recomputes the
+    # subtraction's complement every round, Cipher.cpp:526-558; it is loop
+    # invariant — hoisting halves the per-iteration bootstrap count)
+    neg_b = twos_complement(abs_b, cloud)
     # PA register: [remainder(nbits) | quotient-in-progress], LSB half = abs_a
     pa_lo = abs_a                                  # bits [0, nbits)
     pa_hi = zero_like_bits(a, a.batch_shape)       # bits [nbits, 2nbits)
@@ -424,7 +440,7 @@ def div(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
         pa_hi = lwe_concat([pa_lo[..., nbits - 1:nbits], pa_hi[..., :-1]], axis=-1)
         zero1 = zero_like_bits(a, a.batch_shape[:-1] + (1,))
         pa_lo = lwe_concat([zero1, pa_lo[..., :-1]], axis=-1)
-        temp_p = sub(pa_hi, abs_b, cloud)
+        temp_p = add(pa_hi, neg_b, cloud)
         neg = temp_p[..., nbits - 1]               # 1 if tempP < 0
         bit = gates.NOT(neg)
         pa_lo = lwe_concat([bit.reshape(bit.batch_shape + (1,)), pa_lo[..., 1:]], axis=-1)
