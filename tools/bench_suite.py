@@ -247,7 +247,7 @@ def bench_matmul(sk, report):
     """Table IX: DxD 16-bit matrix multiply (flattened-tree + Cannon).
     Sizes via BENCH_MATMUL_SIZES (default "2,4"; 8/16 take minutes)."""
     nb = 16
-    rows = {}
+    rows = dict(report.get("matmul", {}))   # keep rows from partial reruns
     sizes = tuple(int(v) for v in os.environ.get("BENCH_MATMUL_SIZES", "2,4").split(","))
     for D in sizes:
         rng = np.random.RandomState(D)
