@@ -91,9 +91,40 @@ def _fa_stage(ai, bi, carry, cloud):
 
 @jax.jit
 def _fa_stage_jit(ai, bi, carry, cloud):
-    """_fa_stage as ONE dispatched program — the per-bit latency is dominated
-    by host round-trips otherwise."""
-    return _fa_stage(ai, bi, carry, cloud)
+    """_fa_stage as ONE program with the second round FUSED: the sum's XOR
+    image and the carry-MUX's two AND images ride ONE bootstrap batch, then
+    one combined key switch — 2 kernel launches / 2 KS per bit instead of 3,
+    which is what the serial carry chain's latency is made of."""
+    import jax.numpy as jnp
+    from .core import bootstrap as bs
+    from .core.lwe import lwe_concat as cat
+
+    B = 1
+    for s in ai.batch_shape:
+        B *= s
+    af, bf, cf = ai.reshape(B), bi.reshape(B), carry.reshape(B)
+    t = gates.gate2("XOR", af, bf, cloud)                      # round 1
+
+    xor_c, xor_a, xor_b = gates.GATE_TABLE["XOR"]
+    and_c, and_a, and_b = gates.GATE_TABLE["AND"]
+    ny_c, ny_a, ny_b = gates.GATE_TABLE["ANDNY"]
+    s_img = gates._affine2(t, cf, jnp.int32(xor_c), jnp.int32(xor_a), jnp.int32(xor_b))
+    m1 = gates._affine2(t, cf, jnp.int32(and_c), jnp.int32(and_a), jnp.int32(and_b))
+    m2 = gates._affine2(t, af, jnp.int32(ny_c), jnp.int32(ny_a), jnp.int32(ny_b))
+    u = cat([s_img, m1, m2], axis=0)
+    Bp = gates._bucket(3 * B)
+    u = gates._pad_flat(u, Bp)
+    a_ext, b_ext, cv = bs.bootstrap_woks(u, jnp.int32(gates.MU), cloud)
+    # sum rows pass through; carry rows = MUX tail u1+u2+(0,1/8) (gates._mux_jit)
+    a_c = a_ext[B:2 * B] + a_ext[2 * B:3 * B]
+    b_c = jnp.int32(gates._1_8) + b_ext[B:2 * B] + b_ext[2 * B:3 * B]
+    cv_c = cv[B:2 * B] + cv[2 * B:3 * B]
+    out = bs.key_switch(jnp.concatenate([a_ext[:B], a_c]),
+                        jnp.concatenate([b_ext[:B], b_c]),
+                        cloud.ks_table,
+                        jnp.concatenate([cv[:B], cv_c]), cloud.params)
+    return (out[:B].reshape(ai.batch_shape),
+            out[B:].reshape(ai.batch_shape))
 
 
 def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
@@ -102,13 +133,14 @@ def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     each batched over all leading axes and fused into one program per bit;
     result has the same nbits (overflow dropped, matching the reference)."""
     nbits = a.batch_shape[-1]
-    # fuse the 3-bootstrap stage into one program only while every gate fits a
-    # single chunk (otherwise the traced program would contain dozens of
-    # kernels, which the device tunnel's AOT compiler cannot handle)
+    # fuse the stage into one program only while every bootstrap inside fits a
+    # single chunk (the fused stage's batch is bucket(3*flat) <= 4*flat;
+    # otherwise the traced program would contain dozens of kernels, which the
+    # device tunnel's AOT compiler cannot handle)
     flat = 1
     for s in a.batch_shape[:-1]:
         flat *= s
-    fused = 2 * flat <= gates.GATE_CHUNK
+    fused = 4 * flat <= gates.GATE_CHUNK
     # bit 0: sum = XOR, carry = AND, one compound bootstrap
     c0, s0 = gates.gate2_pair("AND", "XOR", a[..., 0], b[..., 0], a[..., 0], b[..., 0], cloud)
     sums = [s0]
