@@ -65,6 +65,29 @@ def main():
           f"max {rel.max():.4f}   (failure threshold: 1.0 == 1/8 on the torus; "
           f"2.0 would flip the sign)")
 
+    # --- deep-circuit noise: MUX-carry adder chains ------------------------
+    # The 4-bootstrap full adder's carry is a MUX output (two bootstrap
+    # outputs summed + key switch), then amplified x2 in the next XOR affine
+    # — the noisiest phase anywhere in the framework. Exercise 31 chained
+    # stages (32-bit adds) across a batch and report result-bit phase stats.
+    from tfhe_tpu import arith
+    nb, pairs = 32, 64
+    av = rng.randint(0, 1 << (nb - 2), size=pairs)
+    bv = rng.randint(0, 1 << (nb - 2), size=pairs)
+    ca = arith.encrypt_int(sk, av, nb, seed=7000)
+    cb = arith.encrypt_int(sk, bv, nb, seed=7001)
+    out = arith.add(ca, cb, sk.cloud)
+    got = np.asarray(arith.decrypt_int(sk, out, signed=False))
+    add_fail = int(np.sum(got != (av + bv)))
+    phase = decrypt_phase(sk, out).astype(np.float64)
+    want_bits = ((av + bv)[:, None] >> np.arange(nb)[None, :]) & 1
+    target = np.where(want_bits != 0, mu, -mu)
+    rel2 = np.abs(phase - target) / mu
+    print(f"\nadder chains: {pairs} x {nb}-bit adds ({pairs * (nb - 1)} MUX-carry "
+          f"stages): {add_fail} wrong sums")
+    print(f"result-bit |phase error|/mu: mean {rel2.mean():.4f}  "
+          f"p99 {np.percentile(rel2, 99):.4f}  max {rel2.max():.4f}")
+
 
 if __name__ == "__main__":
     main()
