@@ -159,3 +159,19 @@ def test_random_circuit_vs_plaintext(toy_keys):
         wires_c.append(gates.gate2(name, wires_c[i], wires_c[j], sk.cloud))
     for w_p, w_c in zip(wires_p, wires_c):
         np.testing.assert_array_equal(tt.decrypt_bits(sk, w_c), w_p)
+
+
+def test_add_chain_under_real_noise():
+    """Deep MUX-carry chains under real gaussian noise (PARAMS_SMALL_NOISY):
+    the 4-bootstrap adder's carry (a MUX output, the noisiest phase in the
+    framework) must survive a 7-stage chain at reference noise levels."""
+    import tfhe_tpu as tt
+    from tests.conftest import _cached_keys
+    sk = _cached_keys(tt.PARAMS_SMALL_NOISY, (314, 1592, 657))
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 1 << 6, size=4)
+    b = rng.randint(0, 1 << 6, size=4)
+    ca = arith.encrypt_int(sk, a, 8, seed=71)
+    cb = arith.encrypt_int(sk, b, 8, seed=72)
+    out = arith.decrypt_int(sk, arith.add(ca, cb, sk.cloud), signed=False)
+    np.testing.assert_array_equal(out, a + b)
