@@ -64,23 +64,53 @@ def main():
     # on-hardware kernel differential: fused Pallas blind rotate vs the
     # pure-XLA scan must produce IDENTICAL ciphertexts (the reference's own
     # GPU-vs-CPU differential method, SURVEY.md section 4.3, run on-device).
+    # Both kernel layouts are attested: packed slabs (B=32, the small-batch
+    # latency path) and lane-batch (B=256, the throughput path behind the
+    # headline number).
     pallas_verified = False
+    pallas_verified_lane = False
     if jax.default_backend() != "cpu":
         from tfhe_tpu import gates as _g
         from tfhe_tpu.core import bootstrap as bs
+
+        def _bs_both(tv):
+            saved = os.environ.get("TFHE_TPU_PALLAS")
+            try:
+                os.environ["TFHE_TPU_PALLAS"] = "1"
+                o_p = jax.jit(lambda x, ck: bs.bootstrap(x, jnp.int32(_g.MU), ck))(tv, sk.cloud)
+                os.environ["TFHE_TPU_PALLAS"] = "0"
+                o_x = jax.jit(lambda x, ck: bs.bootstrap(x, jnp.int32(_g.MU), ck))(tv, sk.cloud)
+            finally:
+                if saved is None:
+                    os.environ.pop("TFHE_TPU_PALLAS", None)
+                else:
+                    os.environ["TFHE_TPU_PALLAS"] = saved
+            return bool(np.array_equal(np.asarray(o_p.a), np.asarray(o_x.a))
+                        and np.array_equal(np.asarray(o_p.b), np.asarray(o_x.b)))
+
         const, cfa, cfb = _g.GATE_TABLE["AND"]
-        tv = _g._affine2(ca[:32], cb[:32], jnp.int32(const), jnp.int32(cfa), jnp.int32(cfb))
-        os.environ["TFHE_TPU_PALLAS"] = "1"
-        o_p = jax.jit(lambda x, ck: bs.bootstrap(x, jnp.int32(_g.MU), ck))(tv, sk.cloud)
-        os.environ["TFHE_TPU_PALLAS"] = "0"
-        o_x = jax.jit(lambda x, ck: bs.bootstrap(x, jnp.int32(_g.MU), ck))(tv, sk.cloud)
-        del os.environ["TFHE_TPU_PALLAS"]
-        pallas_verified = bool(
-            np.array_equal(np.asarray(o_p.a), np.asarray(o_x.a))
-            and np.array_equal(np.asarray(o_p.b), np.asarray(o_x.b)))
-        assert pallas_verified, "Pallas kernel != XLA path on hardware!"
-        print("# pallas-vs-XLA on-device differential: identical ciphertexts",
-              file=sys.stderr)
+        tv32 = _g._affine2(ca[:32], cb[:32], jnp.int32(const), jnp.int32(cfa), jnp.int32(cfb))
+        pallas_verified = _bs_both(tv32)
+        assert pallas_verified, "packed Pallas kernel != XLA path on hardware!"
+        nlane = min(batch, bs.LANE_MAX_BATCH)
+        tvl = _g._affine2(ca[:nlane], cb[:nlane], jnp.int32(const), jnp.int32(cfa), jnp.int32(cfb))
+        pallas_verified_lane = _bs_both(tvl)
+        assert pallas_verified_lane, "lane Pallas kernel != XLA path on hardware!"
+        print(f"# pallas-vs-XLA on-device differential: identical ciphertexts "
+              f"(packed B=32, lane B={nlane})", file=sys.stderr)
+
+    # measured per-dispatch tunnel RTT: tiny jitted op, device->host fetch each
+    # iteration — the floor any single dispatch pays in this environment
+    tiny = jax.jit(lambda v: v + 1)
+    x1 = jnp.zeros((8,), jnp.int32)
+    np.asarray(tiny(x1))
+    t0 = time.time()
+    rtt_iters = 20
+    for _ in range(rtt_iters):
+        x1 = tiny(x1)
+        np.asarray(x1)
+    rtt_s = (time.time() - t0) / rtt_iters
+    print(f"# per-dispatch RTT (tiny jit + fetch): {rtt_s*1000:.1f} ms", file=sys.stderr)
 
     # warm the chained signature (jit + output layouts) before timing
     out = run(out, cb)
@@ -101,6 +131,8 @@ def main():
         "unit": "bootstraps/s",
         "vs_baseline": round(thr / BASELINE_BOOTSTRAPS_PER_SEC, 3),
         "pallas_verified": pallas_verified,
+        "pallas_verified_lane": pallas_verified_lane,
+        "rtt_s": round(rtt_s, 4),
     }))
 
 

@@ -106,8 +106,9 @@ def test_shifts(toy_keys):
     rs = arith.decrypt_int(sk, arith.right_shift_arith(ca, 1))
     np.testing.assert_array_equal(rs, [x >> 1 for x in a])
     # with the reference's negative-rounding correction (Cipher.cpp:470-480):
-    # negatives shift "like positive numbers", i.e. -4 >> 1 == -4/2 == -2,
-    # and -3 >> 1 rounds toward zero: int(-3/2) == -1
+    # the reference adds sign?1:0 UNCONDITIONALLY for negative operands, so
+    # exact multiples also get +1 (-4 >> 1 -> -2+1 = -1) and -3 >> 1 -> -1;
+    # i.e. the result is (x>>1)+(x<0), not round-toward-zero division
     a2 = np.array([3, -4, -3, -7], np.int64)
     ca2 = arith.encrypt_int(sk, a2, NB, seed=37)
     rs2 = arith.decrypt_int(sk, arith.right_shift_arith(ca2, 1, sk.cloud))

@@ -285,8 +285,18 @@ def keygen(params: TfheParams, seed=(314, 1592, 657), method: str = "auto") -> S
             try:
                 ref_keygen.build()
                 method = "reference"
-            except Exception:
-                pass
+            except Exception as e:
+                # Key derivation is environment-dependent on the auto path:
+                # the same (params, seed) yields different (mutually
+                # undecryptable) keys depending on toolchain availability.
+                # Surface that loudly instead of diverging silently.
+                import warnings
+                warnings.warn(
+                    "keygen(method='auto'): native reference-PRNG build failed "
+                    f"({e!r}); falling back to threefry key derivation. Keys "
+                    "will NOT match reference-PRNG keys generated elsewhere — "
+                    "pass method='reference' or 'threefry' explicitly when "
+                    "cross-environment determinism matters.")
     if method == "reference":
         return keygen_reference(params, seed)
 

@@ -1,0 +1,170 @@
+"""The reference's OWN code as a live oracle (ctypes over libref_oracle.so).
+
+Unlike `ref_keygen` / `native_ref` — which are builder-authored
+reimplementations — this module loads a shared library whose cryptographic
+code is compiled *from the reference's own translation units in
+/root/reference/gpuParallel* (see native/Makefile `libref_oracle.so` and
+native/strip_cuda.py). Keygen is `lweKeyGen`/`tGswKeyGen`/
+`tfhe_createLweBootstrappingKey` as written by the reference authors; gates
+run the reference's non-FFT `tfhe_bootstrap`
+(lwe-bootstrapping-functions.cu:159-182) over exact-integer Karatsuba
+multiplication (multiplication.cu:126-176, the reference's own commented-in
+configuration, polynomials_arithmetic.h:108-111).
+
+Tests in tests/test_reference_oracle.py require the TPU pipeline's
+ciphertexts to be byte-identical to this library's output — retiring the
+last correlated-misreading risk flagged by round-2's VERDICT ("the
+reference's own code has never been executed").
+
+The library keeps ONE global keyset per process (matching the reference
+apps' single global PRNG stream); `init` is idempotent for a fixed seed.
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO = os.path.join(_NATIVE_DIR, "libref_oracle.so")
+
+N_LWE, N_POLY, K, KPL, KS_T, KS_BASE = 500, 1024, 1, 4, 8, 4
+
+
+def available() -> bool:
+    """True if the reference checkout + toolchain exist to build the oracle."""
+    return os.path.isdir("/root/reference/gpuParallel") or os.path.exists(_SO)
+
+
+def build(force: bool = False) -> str:
+    if force or not os.path.exists(_SO):
+        subprocess.run(["make", "-C", _NATIVE_DIR, "libref_oracle.so"],
+                       check=True, capture_output=True)
+    return _SO
+
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    lib = ctypes.CDLL(build())
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    c = ctypes
+    lib.ro_init.argtypes = [c.c_uint32, c.c_uint32, c.c_uint32]
+    lib.ro_get_lwe_key.argtypes = [i32p]
+    lib.ro_get_tlwe_key.argtypes = [i32p]
+    lib.ro_get_bk.argtypes = [i32p]
+    lib.ro_get_ks.argtypes = [i32p, i32p]
+    lib.ro_encrypt_bits.argtypes = [i32p, c.c_int, i32p, i32p]
+    lib.ro_decrypt.argtypes = [i32p, c.c_int32]
+    lib.ro_bootstrap.argtypes = [i32p, c.c_int32, c.c_int32, i32p, c.POINTER(c.c_int32)]
+    lib.ro_bootstrap_woks.argtypes = [i32p, c.c_int32, c.c_int32, i32p, c.POINTER(c.c_int32)]
+    lib.ro_keyswitch.argtypes = [i32p, c.c_int32, i32p, c.POINTER(c.c_int32)]
+    lib.ro_gate.argtypes = [c.c_int, i32p, c.c_int32, i32p, c.c_int32, i32p,
+                            c.POINTER(c.c_int32)]
+    lib.ro_mux.argtypes = [i32p, c.c_int32, i32p, c.c_int32, i32p, c.c_int32,
+                           i32p, c.POINTER(c.c_int32)]
+    lib.ro_write_keyset_files.argtypes = [c.c_char_p, c.c_char_p]
+    lib.ro_write_ciphertexts.argtypes = [c.c_char_p, i32p, i32p, c.c_int]
+    return lib
+
+
+def init(seed=(314, 1592, 657)) -> None:
+    """Reference params(110) + seed + keygen (idempotent per process)."""
+    _lib().ro_init(*(int(s) & 0xFFFFFFFF for s in seed))
+
+
+def get_keys():
+    """Raw key material straight from the reference's keygen code.
+
+    Returns (lwe_key[500], tlwe_key[1,1024], ks_a[1024,8,4,500],
+    ks_b[1024,8,4], bk_raw[500,4,2,1024]) — the same layout as
+    ref_keygen.keygen_raw for direct comparison."""
+    lib = _lib()
+    lwe_key = np.empty(N_LWE, np.int32)
+    tlwe_key = np.empty(K * N_POLY, np.int32)
+    bk = np.empty((N_LWE, KPL, K + 1, N_POLY), np.int32)
+    ks_a = np.empty((K * N_POLY, KS_T, KS_BASE, N_LWE), np.int32)
+    ks_b = np.empty((K * N_POLY, KS_T, KS_BASE), np.int32)
+    lib.ro_get_lwe_key(lwe_key)
+    lib.ro_get_tlwe_key(tlwe_key)
+    lib.ro_get_bk(bk.reshape(-1))
+    lib.ro_get_ks(ks_a.reshape(-1), ks_b.reshape(-1))
+    return lwe_key, tlwe_key.reshape(K, N_POLY), ks_a, ks_b, bk
+
+
+def encrypt_bits(bits) -> tuple:
+    """bootsSymEncrypt via reference code, continuing the global PRNG stream."""
+    bits = np.ascontiguousarray(bits, np.int32)
+    nb = bits.shape[0]
+    a = np.empty((nb, N_LWE), np.int32)
+    b = np.empty(nb, np.int32)
+    _lib().ro_encrypt_bits(bits, nb, a, b)
+    return a, b
+
+
+def decrypt(a: np.ndarray, b: int) -> int:
+    return int(_lib().ro_decrypt(np.ascontiguousarray(a, np.int32), int(b)))
+
+
+def bootstrap(a: np.ndarray, b: int, mu: int) -> tuple:
+    out_a = np.empty(N_LWE, np.int32)
+    out_b = ctypes.c_int32()
+    _lib().ro_bootstrap(np.ascontiguousarray(a, np.int32), int(b), int(mu),
+                        out_a, ctypes.byref(out_b))
+    return out_a, int(out_b.value)
+
+
+def bootstrap_woks(a: np.ndarray, b: int, mu: int) -> tuple:
+    out_a = np.empty(K * N_POLY, np.int32)
+    out_b = ctypes.c_int32()
+    _lib().ro_bootstrap_woks(np.ascontiguousarray(a, np.int32), int(b), int(mu),
+                             out_a, ctypes.byref(out_b))
+    return out_a, int(out_b.value)
+
+
+def keyswitch(a_ext: np.ndarray, b_ext: int) -> tuple:
+    out_a = np.empty(N_LWE, np.int32)
+    out_b = ctypes.c_int32()
+    _lib().ro_keyswitch(np.ascontiguousarray(a_ext, np.int32), int(b_ext),
+                        out_a, ctypes.byref(out_b))
+    return out_a, int(out_b.value)
+
+
+GATE_OPS = {"AND": 0, "OR": 1, "XOR": 2, "NAND": 3, "NOR": 4, "XNOR": 5}
+
+
+def gate(name: str, a1, b1, a2, b2) -> tuple:
+    """Reference gate: affine (boot-gates.cu constants) + non-FFT bootstrap."""
+    out_a = np.empty(N_LWE, np.int32)
+    out_b = ctypes.c_int32()
+    _lib().ro_gate(GATE_OPS[name],
+                   np.ascontiguousarray(a1, np.int32), int(b1),
+                   np.ascontiguousarray(a2, np.int32), int(b2),
+                   out_a, ctypes.byref(out_b))
+    return out_a, int(out_b.value)
+
+
+def mux(aa, ab, ba, bb, ca, cb) -> tuple:
+    out_a = np.empty(N_LWE, np.int32)
+    out_b = ctypes.c_int32()
+    _lib().ro_mux(np.ascontiguousarray(aa, np.int32), int(ab),
+                  np.ascontiguousarray(ba, np.int32), int(bb),
+                  np.ascontiguousarray(ca, np.int32), int(cb),
+                  out_a, ctypes.byref(out_b))
+    return out_a, int(out_b.value)
+
+
+def write_keyset_files(secret_path: str, cloud_path: str) -> None:
+    rc = _lib().ro_write_keyset_files(secret_path.encode(), cloud_path.encode())
+    if rc != 0:
+        raise OSError(f"reference serializer failed writing {secret_path!r}/{cloud_path!r}")
+
+
+def write_ciphertexts(path: str, a: np.ndarray, b: np.ndarray) -> None:
+    a = np.ascontiguousarray(a, np.int32)
+    b = np.ascontiguousarray(b, np.int32)
+    rc = _lib().ro_write_ciphertexts(path.encode(), a.reshape(-1), b, b.shape[0])
+    if rc != 0:
+        raise OSError(f"reference serializer failed writing {path!r}")

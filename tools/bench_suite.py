@@ -247,7 +247,9 @@ def bench_matmul(sk, report):
     """Table IX: DxD 16-bit matrix multiply (flattened-tree + Cannon).
     Sizes via BENCH_MATMUL_SIZES (default "2,4"; 8/16 take minutes)."""
     nb = 16
-    rows = dict(report.get("matmul", {}))   # keep rows from partial reruns
+    # keep rows from partial reruns; normalize JSON-loaded string keys to int
+    # so re-running a recorded size replaces it instead of duplicating '2'/2
+    rows = {int(k): v for k, v in report.get("matmul", {}).items()}
     sizes = tuple(int(v) for v in os.environ.get("BENCH_MATMUL_SIZES", "2,4").split(","))
     for D in sizes:
         rng = np.random.RandomState(D)
