@@ -163,9 +163,10 @@ def test_random_circuit_vs_plaintext(toy_keys):
 
 
 def test_add_chain_under_real_noise():
-    """Deep MUX-carry chains under real gaussian noise (PARAMS_SMALL_NOISY):
-    the 4-bootstrap adder's carry (a MUX output, the noisiest phase in the
-    framework) must survive a 7-stage chain at reference noise levels."""
+    """Deep carry chains under real gaussian noise (PARAMS_SMALL_NOISY):
+    the 2-bootstrap full adder's 3-input affines (MAJ carry, x2-amplified
+    XOR3 sum — the noisiest phase in the framework) must survive a 7-stage
+    chain at reference noise levels."""
     import tfhe_tpu as tt
     from tests.conftest import _cached_keys
     sk = _cached_keys(tt.PARAMS_SMALL_NOISY, (314, 1592, 657))

@@ -102,3 +102,37 @@ def test_pair_and_mux_chunked(toy_keys):
     np.testing.assert_array_equal(tt.decrypt_bits(sk, g_xor), a ^ b)
     m = gates.MUX(cs, ca, cb, sk.cloud)
     np.testing.assert_array_equal(tt.decrypt_bits(sk, m), np.where(s, a, b))
+
+
+def test_maj_xor3_fa_exhaustive(toy_keys):
+    """Exhaustive truth tables for the 3-input single-bootstrap gates
+    (MAJ / XOR3) and the 2-bootstrap full adder."""
+    sk = toy_keys
+    A3 = np.array([c >> 2 & 1 for c in range(8)], np.int32)
+    B3 = np.array([c >> 1 & 1 for c in range(8)], np.int32)
+    C3 = np.array([c & 1 for c in range(8)], np.int32)
+    ca = tt.encrypt_bits(sk, A3, seed=21)
+    cb = tt.encrypt_bits(sk, B3, seed=22)
+    cc = tt.encrypt_bits(sk, C3, seed=23)
+    maj = tt.decrypt_bits(sk, gates.MAJ(ca, cb, cc, sk.cloud))
+    np.testing.assert_array_equal(maj, (A3 + B3 + C3 >= 2).astype(np.int32))
+    par = tt.decrypt_bits(sk, gates.XOR3(ca, cb, cc, sk.cloud))
+    np.testing.assert_array_equal(par, (A3 ^ B3 ^ C3))
+    s, cy = gates.full_adder(ca, cb, cc, sk.cloud)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, s), A3 ^ B3 ^ C3)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, cy),
+                                  (A3 + B3 + C3 >= 2).astype(np.int32))
+
+
+def test_fa_trivial_carry_in(toy_keys):
+    """full_adder with a noiseless trivial carry (the sub() carry-in=1 path)."""
+    sk = toy_keys
+    A3 = np.array([0, 0, 1, 1], np.int32)
+    B3 = np.array([0, 1, 0, 1], np.int32)
+    ca = tt.encrypt_bits(sk, A3, seed=24)
+    cb = tt.encrypt_bits(sk, B3, seed=25)
+    one = gates.CONSTANT(np.ones(4, np.int32), ca.n, (4,))
+    s, cy = gates.full_adder(ca, cb, one, sk.cloud)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, s), A3 ^ B3 ^ 1)
+    np.testing.assert_array_equal(tt.decrypt_bits(sk, cy),
+                                  (A3 + B3 + 1 >= 2).astype(np.int32))

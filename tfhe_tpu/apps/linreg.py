@@ -24,8 +24,12 @@ def linear_regression(cx: LweCiphertext, cy: LweCiphertext, cloud):
     encrypted slope b1 = b1_num / b1_den (integer division).
 
     Widths: intermediate sums/products stay in the input width; callers should
-    size nbits to fit n*Sxy etc. (as the paper's fixed-point setup does)."""
-    n_rows = cx.batch_shape[0]
+    size nbits to fit n*Sxy etc. (as the paper's fixed-point setup does).
+
+    Leading batch axes are supported: cx/cy of shape [attrs, n_rows, nbits]
+    fit all attribute columns as ONE batched regression (how the bench runs
+    the paper's 200x10 datasets)."""
+    n_rows = cx.batch_shape[-2]
     nbits = cx.batch_shape[-1]
 
     sx = linalg.vector_sum(cx, cloud)                        # [nbits]
@@ -36,7 +40,8 @@ def linear_regression(cx: LweCiphertext, cy: LweCiphertext, cloud):
     sxx = linalg.vector_sum(xx, cloud)
 
     n_triv = arith.trivial_bits(
-        ((np.int64(n_rows) >> np.arange(nbits)) & 1).astype(np.int32), cx.n)
+        ((np.int64(n_rows) >> np.arange(nbits)) & 1).astype(np.int32), cx.n,
+        batch_shape=sx.batch_shape)
     n_sxy = arith.mul(n_triv, sxy, cloud)
     n_sxx = arith.mul(n_triv, sxx, cloud)
     sx_sy = arith.mul(sx, sy, cloud)
@@ -57,18 +62,19 @@ def linear_regression_binary(cx_bits: LweCiphertext, cy: LweCiphertext, cloud):
     a single encrypted BIT per row, so every x-product collapses to an AND
     (Sxx == Sx, and x*y = MUX(x, y, 0)).
 
-    cx_bits: [n_rows] encrypted bits; cy: [n_rows, nbits]. Returns (b1, b0)."""
+    cx_bits: [..., n_rows] encrypted bits; cy: [..., n_rows, nbits].
+    Returns (b1, b0); leading batch axes fit many attribute columns at once."""
     from .. import gates
     from ..core.lwe import lwe_stack
 
-    n_rows = cy.batch_shape[0]
+    n_rows = cy.batch_shape[-2]
     nbits = cy.batch_shape[-1]
-    xmask = lwe_stack([cx_bits] * nbits, axis=-1)            # [n_rows, nbits]
+    xmask = lwe_stack([cx_bits] * nbits, axis=-1)            # [..., n_rows, nbits]
     zeros = arith.zero_like_bits(cy, cy.batch_shape)
     xy = gates.MUX(xmask, cy, zeros, cloud)                  # x_i * y_i, one MUX batch
 
     # an encrypted bit IS bit 0 of the integer encoding (same +-1/8 message)
-    zero_pad = arith.zero_like_bits(cy, (n_rows, nbits - 1))
+    zero_pad = arith.zero_like_bits(cy, cy.batch_shape[:-1] + (nbits - 1,))
     from ..core.lwe import lwe_concat
     x_as_int = lwe_concat([xmask[..., :1], zero_pad], axis=-1)   # [n_rows, nbits]
 
@@ -78,7 +84,8 @@ def linear_regression_binary(cx_bits: LweCiphertext, cy: LweCiphertext, cloud):
     sxx = sx                                                 # x in {0,1} -> x^2 == x
 
     n_triv = arith.trivial_bits(
-        ((np.int64(n_rows) >> np.arange(nbits)) & 1).astype(np.int32), cy.n)
+        ((np.int64(n_rows) >> np.arange(nbits)) & 1).astype(np.int32), cy.n,
+        batch_shape=sx.batch_shape)
     n_sxy = arith.mul(n_triv, sxy, cloud)
     n_sxx = arith.mul(n_triv, sxx, cloud)
     sx_sy = arith.mul(sx, sy, cloud)

@@ -25,7 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import gates
-from .core.lwe import LweCiphertext, lwe_concat, lwe_stack
+from .core.lwe import LweCiphertext, lwe_concat, lwe_stack, lwe_take
 from .core.crypt import lwe_encrypt, lwe_phase
 from .numeric import mod_switch_to_torus32
 from .params import TfheParams
@@ -73,84 +73,20 @@ def zero_like_bits(x: LweCiphertext, batch_shape) -> LweCiphertext:
 import jax
 
 
-def _fa_stage(ai, bi, carry, cloud):
-    """One full-adder stage in 4 bootstraps (vs the reference's 5-gate form,
-    paper section V-A3 / main.cu:821-890):
-
-        t   = a XOR b                      (1 bootstrap)
-        sum = t XOR cin                    (1)
-        cout= MUX(t, cin, a) = maj(a,b,cin)  (2 bootstraps, 1 key switch)
-
-    20% fewer bootstraps than XORXOR/AND/XORXOR; dominates every adder-heavy
-    workload (adds, multiplier trees, matrix multiplies)."""
-    t = gates.XOR(ai, bi, cloud)
-    si = gates.XOR(t, carry, cloud)
-    carry = gates.MUX(t, carry, ai, cloud)
-    return si, carry
-
-
-@jax.jit
-def _fa_stage_jit(ai, bi, carry, cloud):
-    """_fa_stage as ONE program with the second round FUSED: the sum's XOR
-    image and the carry-MUX's two AND images ride ONE bootstrap batch, then
-    one combined key switch — 2 kernel launches / 2 KS per bit instead of 3,
-    which is what the serial carry chain's latency is made of."""
-    import jax.numpy as jnp
-    from .core import bootstrap as bs
-    from .core.lwe import lwe_concat as cat
-
-    B = 1
-    for s in ai.batch_shape:
-        B *= s
-    af, bf, cf = ai.reshape(B), bi.reshape(B), carry.reshape(B)
-    t = gates.gate2("XOR", af, bf, cloud)                      # round 1
-
-    xor_c, xor_a, xor_b = gates.GATE_TABLE["XOR"]
-    and_c, and_a, and_b = gates.GATE_TABLE["AND"]
-    ny_c, ny_a, ny_b = gates.GATE_TABLE["ANDNY"]
-    s_img = gates._affine2(t, cf, jnp.int32(xor_c), jnp.int32(xor_a), jnp.int32(xor_b))
-    m1 = gates._affine2(t, cf, jnp.int32(and_c), jnp.int32(and_a), jnp.int32(and_b))
-    m2 = gates._affine2(t, af, jnp.int32(ny_c), jnp.int32(ny_a), jnp.int32(ny_b))
-    u = cat([s_img, m1, m2], axis=0)
-    Bp = gates._bucket(3 * B)
-    u = gates._pad_flat(u, Bp)
-    a_ext, b_ext, cv = bs.bootstrap_woks(u, jnp.int32(gates.MU), cloud)
-    # sum rows pass through; carry rows = MUX tail u1+u2+(0,1/8) (gates._mux_jit)
-    a_c = a_ext[B:2 * B] + a_ext[2 * B:3 * B]
-    b_c = jnp.int32(gates._1_8) + b_ext[B:2 * B] + b_ext[2 * B:3 * B]
-    cv_c = cv[B:2 * B] + cv[2 * B:3 * B]
-    out = bs.key_switch(jnp.concatenate([a_ext[:B], a_c]),
-                        jnp.concatenate([b_ext[:B], b_c]),
-                        cloud.ks_table,
-                        jnp.concatenate([cv[:B], cv_c]), cloud.params)
-    return (out[:B].reshape(ai.batch_shape),
-            out[B:].reshape(ai.batch_shape))
-
-
 def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Bitwise ripple-carry adder, the reference's fastest (GPU_1)
-    (taskLevelParallelAdd_bitwise, main.cu:821-890). 3 bootstrap rounds per bit,
-    each batched over all leading axes and fused into one program per bit;
-    result has the same nbits (overflow dropped, matching the reference)."""
+    (taskLevelParallelAdd_bitwise, main.cu:821-890), rebuilt on the 2-bootstrap
+    full adder (gates.full_adder): per bit, ONE batched bootstrap kernel (sum
+    + carry images) and one key switch — vs the reference's 5 gates / 3
+    sequential bootstraps per bit. Result has the same nbits (overflow
+    dropped, matching the reference)."""
     nbits = a.batch_shape[-1]
-    # fuse the stage into one program only while every bootstrap inside fits a
-    # single chunk (the fused stage's batch is bucket(3*flat) <= 4*flat;
-    # otherwise the traced program would contain dozens of kernels, which the
-    # device tunnel's AOT compiler cannot handle)
-    flat = 1
-    for s in a.batch_shape[:-1]:
-        flat *= s
-    fused = 4 * flat <= gates.GATE_CHUNK
     # bit 0: sum = XOR, carry = AND, one compound bootstrap
     c0, s0 = gates.gate2_pair("AND", "XOR", a[..., 0], b[..., 0], a[..., 0], b[..., 0], cloud)
     sums = [s0]
     carry = c0
     for i in range(1, nbits):
-        ai, bi = a[..., i], b[..., i]
-        if fused:
-            si, carry = _fa_stage_jit(ai, bi, carry, cloud)
-        else:
-            si, carry = _fa_stage(ai, bi, carry, cloud)
+        si, carry = gates.full_adder(a[..., i], b[..., i], carry, cloud)
         sums.append(si)
     return lwe_stack(sums, axis=-1)
 
@@ -200,8 +136,19 @@ def twos_complement(a: LweCiphertext, cloud) -> LweCiphertext:
 
 
 def sub(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
-    """a - b = a + twos_complement(b) (ref Cipher.cpp:342-345)."""
-    return add(a, twos_complement(b, cloud), cloud)
+    """a - b (ref Cipher.cpp:342-345 computes a + twos_complement(b); here
+    the identity a - b = a + not(b) + 1 folds the complement into the ripple
+    chain's carry-in — the NOT is a free negation, halving the bootstrap
+    count vs the reference's circuit while computing the same function."""
+    nbits = a.batch_shape[-1]
+    nb = gates.NOT(b)
+    carry = gates.CONSTANT(jnp.ones(a.batch_shape[:-1], jnp.int32), a.n,
+                           a.batch_shape[:-1])
+    sums = []
+    for i in range(nbits):
+        si, carry = gates.full_adder(a[..., i], nb[..., i], carry, cloud)
+        sums.append(si)
+    return lwe_stack(sums, axis=-1)
 
 
 def left_shift(a: LweCiphertext, k: int) -> LweCiphertext:
@@ -251,28 +198,42 @@ def mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """
     nbits = a.batch_shape[-1]
     lead = a.batch_shape[:-1]
-    # partial products: pp[i, j] = b_i AND a_j  -> batch [..., nbits, nbits]
-    arow = lwe_stack([a] * nbits, axis=-2)                 # [..., i, j] = a_j
-    bcol = lwe_stack([b[..., i] for i in range(nbits)], axis=-1)
-    bmat = lwe_stack([bcol] * nbits, axis=-1)              # [..., i, j] = b_i
-    pp = gates.AND(arow, bmat, cloud)                      # [..., nbits, nbits]
-    # shift row i left by i (truncated to nbits)
-    rows = []
+    # partial products, TRUNCATION-AWARE: row i shifted left by i only
+    # contributes bits j < nbits - i of a, so only the nbits*(nbits+1)/2
+    # triangle pairs are bootstrapped (136 vs 256 ANDs at 16 bits) — the
+    # reference computes the full iBits^2 matrix (main.cu:1524-1526).
+    # Assembly is all single-gather ops (lwe_take), not per-slice loops.
+    pairs = [(i, j) for i in range(nbits) for j in range(nbits - i)]
+    P = len(pairs)
+    lhs = lwe_take(a, np.array([j for (_, j) in pairs]), axis=-1)   # [..., P]
+    rhs = lwe_take(b, np.array([i for (i, _) in pairs]), axis=-1)   # [..., P]
+    pp = gates.AND(lhs, rhs, cloud)                                 # [..., P]
+    # scatter into the pre-shifted row matrix via one gather from pp ++ [0]:
+    # rows[i, k] = pp[pos(i, k-i)] for k >= i, else the trivial-zero slot P
+    pos = np.full((nbits, nbits), P, np.int32)
+    off = 0
     for i in range(nbits):
-        row = pp[..., i, :]
-        rows.append(left_shift(row, i) if i else row)
-    # tree reduction (main.cu:1547-1569)
-    while len(rows) > 1:
-        nxt = []
-        half = len(rows) // 2
-        lhs = lwe_stack(rows[:half], axis=-2)
-        rhs = lwe_stack(rows[half:2 * half], axis=-2)
-        summed = add(lhs, rhs, cloud)                      # batched over the pair axis
-        nxt = [summed[..., i, :] for i in range(half)]
-        if len(rows) % 2:
-            nxt.append(rows[-1])
-        rows = nxt
-    return rows[0]
+        for j in range(nbits - i):
+            pos[i, i + j] = off + j
+        off += nbits - i
+    ppz = lwe_concat([pp, zero_like_bits(a, lead + (1,))], axis=-1)
+    rows = lwe_take(ppz, pos.reshape(-1), axis=-1).reshape(lead + (nbits, nbits))
+    return _tree_sum_rows(rows, add, cloud)
+
+
+def _tree_sum_rows(rows: LweCiphertext, add_fn, cloud) -> LweCiphertext:
+    """Log-tree reduction over axis -2 (main.cu:1547-1569), keeping the rows
+    as ONE tensor (halved by slicing each level — no per-row stack loops)."""
+    R = rows.batch_shape[-2]
+    while R > 1:
+        half = R // 2
+        summed = add_fn(rows[..., :half, :], rows[..., half:2 * half, :], cloud)
+        if R % 2:
+            rows = lwe_concat([summed, rows[..., 2 * half:, :]], axis=-2)
+        else:
+            rows = summed
+        R = (R + 1) // 2
+    return rows[..., 0, :]
 
 
 def mul_mux(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
@@ -282,22 +243,18 @@ def mul_mux(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     MUX(b_i, a << i, 0) (one batched MUX for all rows), then the same
     log-tree reduction as `mul`."""
     nbits = a.batch_shape[-1]
-    shifted = lwe_stack([left_shift(a, i) for i in range(nbits)], axis=-2)
-    bcol = lwe_stack([b[..., i] for i in range(nbits)], axis=-1)
-    sel = lwe_stack([bcol] * nbits, axis=-1)               # [..., i, j] = b_i
+    lead = a.batch_shape[:-1]
+    # shifted[i, k] = a[k - i] for k >= i else trivial zero: one gather
+    az = lwe_concat([a, zero_like_bits(a, lead + (1,))], axis=-1)
+    pos = np.full((nbits, nbits), nbits, np.int32)
+    for i in range(nbits):
+        pos[i, i:] = np.arange(nbits - i)
+    shifted = lwe_take(az, pos.reshape(-1), axis=-1).reshape(lead + (nbits, nbits))
+    sel = lwe_take(b, np.repeat(np.arange(nbits), nbits), axis=-1) \
+        .reshape(lead + (nbits, nbits))                    # [..., i, j] = b_i
     zeros = zero_like_bits(a, shifted.batch_shape)
-    rows_ct = gates.MUX(sel, shifted, zeros, cloud)        # [..., nbits, nbits]
-    rows = [rows_ct[..., i, :] for i in range(nbits)]
-    while len(rows) > 1:
-        half = len(rows) // 2
-        lhs = lwe_stack(rows[:half], axis=-2)
-        rhs = lwe_stack(rows[half:2 * half], axis=-2)
-        summed = add(lhs, rhs, cloud)
-        nxt = [summed[..., i, :] for i in range(half)]
-        if len(rows) % 2:
-            nxt.append(rows[-1])
-        rows = nxt
-    return rows[0]
+    rows = gates.MUX(sel, shifted, zeros, cloud)           # [..., nbits, nbits]
+    return _tree_sum_rows(rows, add, cloud)
 
 
 def mul_full(a: LweCiphertext, b: LweCiphertext, cloud, out_bits: int) -> LweCiphertext:
@@ -349,22 +306,11 @@ def mul_karatsuba(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
 
 # --------------------------------------------------------------- comparisons
 
-@jax.jit
-def _compare_bit_jit(result, ai, bi, cloud):
-    t = gates.XNOR(ai, bi, cloud)
-    return gates.MUX(t, result, ai, cloud)
-
-
 def compare_bit(result, ai, bi, cloud):
     """One comparator stage (ref Cipher::compare_bit, Cipher.cpp:335-340):
-    result' = MUX(XNOR(a,b), result, a) — fused into one program when small."""
-    flat = 1
-    for s in ai.batch_shape:
-        flat *= s
-    if 2 * flat <= gates.GATE_CHUNK:
-        return _compare_bit_jit(result, ai, bi, cloud)
-    t = gates.XNOR(ai, bi, cloud)
-    return gates.MUX(t, result, ai, cloud)
+    result' = MUX(XNOR(a,b), result, a), which equals MAJ(a, not b, result)
+    — ONE bootstrap instead of the reference's XNOR+MUX (3)."""
+    return gates.MAJ(ai, gates.NOT(bi), result, cloud)
 
 
 def minimum(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
@@ -378,32 +324,16 @@ def minimum(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return gates.MUX(cmps, b, a, cloud)
 
 
-@jax.jit
-def _gt_stage_jit(ai, bi, cin, cloud):
-    """One comparator stage as one program: cin' = MUX(a^b, a, cin)
-    (3 bootstraps; equivalent to ref compareBit_g's a ^ ((a^cin) & (b^cin)),
-    Cipher.cpp:620-631, which needs 4)."""
-    t = gates.XOR(ai, bi, cloud)
-    return gates.MUX(t, ai, cin, cloud)
-
-
 def gt(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
-    """Signed a > b -> 1-bit ciphertext (ref Cipher::operator>, Cipher.cpp:597-608)."""
+    """Signed a > b -> 1-bit ciphertext (ref Cipher::operator>,
+    Cipher.cpp:597-608, whose stage a ^ ((a^cin) & (b^cin)) needs 4 gates).
+    Here each stage is cin' = MUX(a^b, a, cin) == MAJ(a, not b, cin) — ONE
+    bootstrap — and the signed fixup (a_msb ^ b_msb) ^ cin is one XOR3."""
     nbits = a.batch_shape[-1]
-    flat = 1
-    for s in a.batch_shape[:-1]:
-        flat *= s
-    fused = 2 * flat <= gates.GATE_CHUNK
     cin = zero_like_bits(a, a.batch_shape[:-1])
     for i in range(nbits):
-        if fused:
-            cin = _gt_stage_jit(a[..., i], b[..., i], cin, cloud)
-        else:
-            t1, t2 = gates.gate2_pair("XOR", "XOR", a[..., i], cin, b[..., i], cin, cloud)
-            t = gates.AND(t1, t2, cloud)
-            cin = gates.XOR(a[..., i], t, cloud)
-    sign = gates.XOR(a[..., nbits - 1], b[..., nbits - 1], cloud)
-    return gates.XOR(sign, cin, cloud)
+        cin = gates.MAJ(a[..., i], gates.NOT(b[..., i]), cin, cloud)
+    return gates.XOR3(a[..., nbits - 1], b[..., nbits - 1], cin, cloud)
 
 
 def le(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
@@ -415,17 +345,13 @@ def eq(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """a == b (ref Cipher::operator==, Cipher.cpp:633-644), with a log-depth
     OR tree instead of the reference's sequential OR chain."""
     x = gates.XOR(a, b, cloud)                             # [..., nbits]
-    bits = [x[..., i] for i in range(x.batch_shape[-1])]
-    while len(bits) > 1:
-        half = len(bits) // 2
-        lhs = lwe_stack(bits[:half], axis=-1)
-        rhs = lwe_stack(bits[half:2 * half], axis=-1)
-        ored = gates.OR(lhs, rhs, cloud)
-        nxt = [ored[..., i] for i in range(half)]
-        if len(bits) % 2:
-            nxt.append(bits[-1])
-        bits = nxt
-    return gates.NOT(bits[0])
+    R = x.batch_shape[-1]
+    while R > 1:
+        half = R // 2
+        ored = gates.OR(x[..., :half], x[..., half:2 * half], cloud)
+        x = lwe_concat([ored, x[..., 2 * half:]], axis=-1) if R % 2 else ored
+        R = (R + 1) // 2
+    return gates.NOT(x[..., 0])
 
 
 # --------------------------------------------------------------- signed ops

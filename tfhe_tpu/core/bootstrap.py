@@ -188,12 +188,18 @@ def sample_extract(acc: jnp.ndarray, params: TfheParams):
     return a_ext, b_ext
 
 
-def ks_onehot(a_ext: jnp.ndarray, params: TfheParams) -> jnp.ndarray:
+def ks_onehot(a_ext: jnp.ndarray, params: TfheParams,
+              with_nnz: bool = False):
     """Digit-decompose a_ext columns into the one-hot KS matmul operand.
 
     a_ext: int32[B, C] (any column slice of the extracted sample) ->
     int8[B, C * t * (base-1)], row order (i, j, h-1) matching ks_to_limb_table
-    (ref digit extraction lwe-keyswitch-functions.cu:106-118)."""
+    (ref digit extraction lwe-keyswitch-functions.cu:106-118).
+
+    with_nnz=True also returns the per-sample count of nonzero digits
+    (int32[B]) for the reference's per-digit cv accumulation
+    (lweKeySwitchTranslate_fromArray, lwe-keyswitch-functions.cu:119-125:
+    only rows with aij != 0 contribute a ks-sample variance)."""
     t, basebit, base = params.ks_t, params.ks_basebit, params.ks_base
     B = a_ext.shape[0]
     aibar = to_u32(a_ext) + jnp.uint32(params.ks_prec_offset)        # [B, C]
@@ -204,14 +210,20 @@ def ks_onehot(a_ext: jnp.ndarray, params: TfheParams) -> jnp.ndarray:
     )                                                                 # [B, C, t]
     hvals = jnp.arange(1, base, dtype=jnp.uint32)
     onehot = (digs[..., None] == hvals).astype(jnp.int8)              # [B, C, t, base-1]
+    if with_nnz:
+        nnz = jnp.sum((digs != 0).astype(jnp.int32), axis=(1, 2))     # [B]
+        return onehot.reshape(B, -1), nnz
     return onehot.reshape(B, -1)
 
 
 def ks_finalize(sums: jnp.ndarray, b_ext: jnp.ndarray, cv: jnp.ndarray,
-                params: TfheParams) -> LweCiphertext:
+                params: TfheParams, nnz=None) -> LweCiphertext:
     """Recombine int8 limb-plane partial sums into the key-switched sample.
 
-    sums: int32[B, 4 * pad_cols] (possibly psum-reduced across a mesh axis)."""
+    sums: int32[B, 4 * pad_cols] (possibly psum-reduced across a mesh axis).
+    nnz: optional int32[B] count of nonzero digits — the reference adds one
+    ks-sample variance per nonzero digit (lwe-keyswitch-functions.cu:119-125);
+    without it the worst case n_extract*t is assumed."""
     n = params.n
     B = sums.shape[0]
     s = sums.reshape(B, 4, sums.shape[1] // 4)
@@ -221,7 +233,9 @@ def ks_finalize(sums: jnp.ndarray, b_ext: jnp.ndarray, cv: jnp.ndarray,
          + (s[:, 3] << jnp.int32(24)))                                # int32 wrap
     a_out = -r[:, :n]
     b_out = b_ext - r[:, n]
-    cv_out = cv + jnp.float32(params.n_extract * params.ks_t * params.ks_stdev ** 2)
+    digits = (nnz.astype(jnp.float32) if nnz is not None
+              else jnp.float32(params.n_extract * params.ks_t))
+    cv_out = cv + digits * jnp.float32(params.ks_stdev ** 2)
     return LweCiphertext(a_out, b_out, jnp.broadcast_to(cv_out, b_out.shape))
 
 
@@ -233,9 +247,9 @@ def key_switch(a_ext: jnp.ndarray, b_ext: jnp.ndarray, ks_table: jnp.ndarray,
     result = (0, b_ext) - sum_{i,j} ks[i][j][digit_ij]
     (ref lweKeySwitchTranslate_fromArray, lwe-keyswitch-functions.cu:101-127).
     """
-    onehot = ks_onehot(a_ext, params)
+    onehot, nnz = ks_onehot(a_ext, params, with_nnz=True)
     sums = jnp.matmul(onehot, ks_table, preferred_element_type=jnp.int32)
-    return ks_finalize(sums, b_ext, cv, params)
+    return ks_finalize(sums, b_ext, cv, params, nnz=nnz)
 
 
 # ------------------------------------------------------------------ pipeline

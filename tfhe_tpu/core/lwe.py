@@ -68,6 +68,20 @@ def lwe_stack(cts, axis: int = 0) -> LweCiphertext:
     )
 
 
+def lwe_take(ct: LweCiphertext, idx, axis: int = -1) -> LweCiphertext:
+    """Gather batch entries along one batch axis with a (possibly
+    multi-dimensional) static index array — ONE device op per field, replacing
+    a Python loop of slices+stack (which dispatches hundreds of eager ops
+    through the device tunnel)."""
+    idx = jnp.asarray(idx)
+    a_axis = axis if axis >= 0 else axis - 1
+    return LweCiphertext(
+        jnp.take(ct.a, idx, axis=a_axis),
+        jnp.take(ct.b, idx, axis=axis),
+        jnp.take(ct.cv, idx, axis=axis),
+    )
+
+
 def lwe_concat(cts, axis: int = 0) -> LweCiphertext:
     a_axis = axis if axis >= 0 else axis - 1
     return LweCiphertext(

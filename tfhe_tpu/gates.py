@@ -203,6 +203,136 @@ def CONSTANT(value, n: int, batch_shape=()) -> LweCiphertext:
     return noiseless_trivial(mu, n, batch_shape)
 
 
+# ---- 3-input bootstrapped gates (TPU-native extension) -------------------
+#
+# The torus encoding (bits at ±1/8, boot-gates.cu:100) admits 3-input gates
+# in ONE bootstrap: for three bit samples the affine a+b+c has phase
+# (2k-3)/8 for k ones, so its sign is the MAJORITY (= the full-adder carry),
+# and 2*(a+b+c) has phase (2k-3)/4 whose sign is the negated 3-way parity
+# (= the full-adder sum, up to a free negation). This is the same move the
+# reference's own gates already make (XOR rides coefficient 2 with a 1/4
+# margin, boot-gates.cu:198), extended to three inputs: a full adder costs 2
+# bootstraps instead of the reference's 5 gates (paper section V-A3), and a
+# comparator stage costs 1 (cin' = MUX(a^b, a, cin) == MAJ(a, not b, cin)).
+# Noise: the affine sums three bootstrapped samples instead of two — margin
+# distances are unchanged (1/8 for MAJ like AND, 1/4 for the parity like
+# XOR), amplitudes grow by sqrt(3/2); validated by tools/noise_stats.py and
+# the CI noise-regression test.
+
+@jax.jit
+def _affine3(x, y, z, const, ca, cb, cc) -> LweCiphertext:
+    const = jnp.asarray(const, jnp.int32)
+    ca = jnp.asarray(ca, jnp.int32)
+    cb = jnp.asarray(cb, jnp.int32)
+    cc = jnp.asarray(cc, jnp.int32)
+    a = ca[..., None] * x.a + cb[..., None] * y.a + cc[..., None] * z.a
+    b = const + ca * x.b + cb * y.b + cc * z.b
+    cv = (ca.astype(jnp.float32) ** 2 * x.cv + cb.astype(jnp.float32) ** 2 * y.cv
+          + cc.astype(jnp.float32) ** 2 * z.cv)
+    return LweCiphertext(a, b, cv)
+
+
+@jax.jit
+def _maj3_jit(x, y, z, cloud):
+    shape = x.batch_shape
+    B = 1
+    for s in shape:
+        B *= s
+    t = _affine3(x.reshape(B), y.reshape(B), z.reshape(B),
+                 jnp.int32(0), jnp.int32(1), jnp.int32(1), jnp.int32(1))
+    return bs.bootstrap(t, jnp.int32(MU), cloud).reshape(shape)
+
+
+def MAJ(x: LweCiphertext, y: LweCiphertext, z: LweCiphertext, cloud) -> LweCiphertext:
+    """Majority of three bits in ONE bootstrap: sign(a+b+c)."""
+    B = _flat_batch(x)
+    if B > GATE_CHUNK:
+        shape = x.batch_shape
+        xf, yf, zf = x.reshape(B), y.reshape(B), z.reshape(B)
+        outs = [MAJ(xf[s:min(s + GATE_CHUNK, B)], yf[s:min(s + GATE_CHUNK, B)],
+                    zf[s:min(s + GATE_CHUNK, B)], cloud)
+                for s in range(0, B, GATE_CHUNK)]
+        return lwe_concat(outs, axis=0).reshape(shape)
+    Bp = _bucket(B)
+    if Bp != B:
+        shape = x.batch_shape
+        out = _maj3_jit(_pad_flat(x.reshape(B), Bp), _pad_flat(y.reshape(B), Bp),
+                        _pad_flat(z.reshape(B), Bp), cloud)
+        return out[:B].reshape(shape)
+    return _maj3_jit(x, y, z, cloud)
+
+
+@jax.jit
+def _xor3_jit(x, y, z, cloud):
+    shape = x.batch_shape
+    B = 1
+    for s in shape:
+        B *= s
+    t = _affine3(x.reshape(B), y.reshape(B), z.reshape(B),
+                 jnp.int32(0), jnp.int32(2), jnp.int32(2), jnp.int32(2))
+    return lwe_negate(bs.bootstrap(t, jnp.int32(MU), cloud)).reshape(shape)
+
+
+def XOR3(x: LweCiphertext, y: LweCiphertext, z: LweCiphertext, cloud) -> LweCiphertext:
+    """3-way parity in ONE bootstrap: not(sign(2*(a+b+c)))."""
+    B = _flat_batch(x)
+    if B > GATE_CHUNK:
+        shape = x.batch_shape
+        xf, yf, zf = x.reshape(B), y.reshape(B), z.reshape(B)
+        outs = [XOR3(xf[s:min(s + GATE_CHUNK, B)], yf[s:min(s + GATE_CHUNK, B)],
+                     zf[s:min(s + GATE_CHUNK, B)], cloud)
+                for s in range(0, B, GATE_CHUNK)]
+        return lwe_concat(outs, axis=0).reshape(shape)
+    Bp = _bucket(B)
+    if Bp != B:
+        shape = x.batch_shape
+        out = _xor3_jit(_pad_flat(x.reshape(B), Bp), _pad_flat(y.reshape(B), Bp),
+                        _pad_flat(z.reshape(B), Bp), cloud)
+        return out[:B].reshape(shape)
+    return _xor3_jit(x, y, z, cloud)
+
+
+@jax.jit
+def _fa3_jit(a: LweCiphertext, b: LweCiphertext, c: LweCiphertext, cloud):
+    """Full adder as ONE program / ONE bootstrap batch (2 rows per bit):
+    rows [0,B) the carry image a+b+c, rows [B,2B) the sum image 2*(a+b+c);
+    one combined key switch; the sum half is negated afterwards (free)."""
+    shape = a.batch_shape
+    B = 1
+    for s in shape:
+        B *= s
+    af, bf, cf = a.reshape(B), b.reshape(B), c.reshape(B)
+    u_c = _affine3(af, bf, cf, jnp.int32(0), jnp.int32(1), jnp.int32(1), jnp.int32(1))
+    u_s = _affine3(af, bf, cf, jnp.int32(0), jnp.int32(2), jnp.int32(2), jnp.int32(2))
+    t = lwe_concat([u_c, u_s], axis=0)
+    t = _pad_flat(t, _bucket(2 * B))
+    out = bs.bootstrap(t, jnp.int32(MU), cloud)
+    carry = out[:B].reshape(shape)
+    ssum = lwe_negate(out[B:2 * B]).reshape(shape)
+    return ssum, carry
+
+
+def full_adder(a: LweCiphertext, b: LweCiphertext, cin: LweCiphertext, cloud):
+    """(sum, carry) of a+b+cin in 2 bootstraps riding ONE batched kernel +
+    one key switch — vs 5 gates in the reference's bitwise adder
+    (taskLevelParallelAdd_bitwise, main.cu:821-890) and 4 bootstraps for the
+    XOR/XOR/MUX form. The workhorse of every adder-heavy circuit."""
+    B = _flat_batch(a)
+    if 2 * B > GATE_CHUNK:
+        half = GATE_CHUNK // 2
+        shape = a.batch_shape
+        af, bf, cf = a.reshape(B), b.reshape(B), cin.reshape(B)
+        sums, carries = [], []
+        for s in range(0, B, half):
+            e = min(s + half, B)
+            si, ci = full_adder(af[s:e], bf[s:e], cf[s:e], cloud)
+            sums.append(si)
+            carries.append(ci)
+        return (lwe_concat(sums, axis=0).reshape(shape),
+                lwe_concat(carries, axis=0).reshape(shape))
+    return _fa3_jit(a, b, cin, cloud)
+
+
 def MUX(a: LweCiphertext, b: LweCiphertext, c: LweCiphertext, cloud) -> LweCiphertext:
     """a ? b : c with two bootstraps batched as ONE kernel + one key switch
     (ref bootsMUX, boot-gates.cu:403-448; fused GPU variant :2631-2843)."""

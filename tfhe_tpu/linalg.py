@@ -29,18 +29,7 @@ def vector_mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
 def vector_sum(v: LweCiphertext, cloud) -> LweCiphertext:
     """Sum of a vector of numbers by pairwise log-tree reduction
     (ref BOOTS_Add_vector, main.cu:1033-1136). v: [..., L, nbits] -> [..., nbits]."""
-    L = v.batch_shape[-2]
-    rows = [v[..., i, :] for i in range(L)]
-    while len(rows) > 1:
-        half = len(rows) // 2
-        lhs = lwe_stack(rows[:half], axis=-2)
-        rhs = lwe_stack(rows[half:2 * half], axis=-2)
-        summed = arith.add(lhs, rhs, cloud)
-        nxt = [summed[..., i, :] for i in range(half)]
-        if len(rows) % 2:
-            nxt.append(rows[-1])
-        rows = nxt
-    return rows[0]
+    return arith._tree_sum_rows(v, arith.add, cloud)
 
 
 def matrix_add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:

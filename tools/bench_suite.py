@@ -35,12 +35,18 @@ from tfhe_tpu import arith, gates, linalg
 # Reference GPU numbers (GTX 1080; BASELINE.md, paper Tables IV-IX), seconds.
 REF_GPU = {
     "gate_batch": {2: 0.02274, 4: 0.02163, 8: 0.03058, 16: 0.04406, 32: 0.07050},
+    # Table IV per-phase decomposition (ms -> s): (BS, KS, misc)
+    "gate_phases": {2: (0.01964, 0.00265, 0.00045), 4: (0.01886, 0.00269, 0.00008),
+                    8: (0.02783, 0.00269, 0.00006), 16: (0.04070, 0.00291, 0.00044),
+                    32: (0.06674, 0.00334, 0.00042)},
     "add_bitwise": {16: 0.98, 24: 1.47, 32: 1.99},
     "add_numberwise": {16: 0.94, 24: 2.55, 32: 4.44},
     "mul_naive": {16: 11.16, 24: 22.08, 32: 33.99},
     "mul_karatsuba": {16: 7.6708, 32: 24.62},
     "vector_add_16bit": {4: 1.27, 8: 1.78, 16: 2.82, 32: 5.41},
+    "vector_add_32bit": {4: 2.56, 8: 3.58, 16: 5.70, 32: 11.22},   # Table VI
     "vector_mul_16bit": {4: 24.6, 8: 45.0, 16: 84.0, 32: 160.8},  # minutes->s (Table VIII)
+    "vector_mul_32bit": {4: 96.6, 8: 177.6, 16: 337.2, 32: 647.4},  # Table VIII
     "matmul_16bit": {2: 51.6, 4: 354.0, 8: 2637.0, 16: 11173.8},  # Table IX (s)
 }
 
@@ -114,6 +120,85 @@ def bench_gates(sk, report):
                     "speedup": round(ref / dt, 2) if ref else None}
         print(f"  AND batch {nb:3d} bits: {dt*1e3:8.1f} ms steady / {dt1*1e3:.1f} ms single  (ref GPU {ref*1e3 if ref else 0:.1f} ms)", flush=True)
     report["gate_batch"] = rows
+
+
+def _measure_rtt(iters=20):
+    """Per-dispatch tunnel RTT: tiny jitted op + device->host fetch."""
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda v: v + 1)
+    x = jnp.zeros((8,), jnp.int32)
+    np.asarray(tiny(x))
+    t0 = time.time()
+    for _ in range(iters):
+        x = tiny(x)
+        np.asarray(x)
+    return (time.time() - t0) / iters
+
+
+def bench_phases(sk, report):
+    """Table IV parity: per-phase gate decomposition (blind rotate + extract /
+    key switch / misc) for each width, measured as steady-state chained
+    latencies of each phase alone (the reference brackets the same phases at
+    lwe-bootstrapping-functions-fft.cu:1941-1968). Also records the measured
+    per-dispatch tunnel RTT, showing single_shot ~= s + rtt."""
+    import jax.numpy as jnp
+    from tfhe_tpu.core import bootstrap as bs
+    from tfhe_tpu.core.lwe import LweCiphertext
+
+    rtt = _measure_rtt()
+    print(f"  per-dispatch RTT: {rtt*1e3:.1f} ms", flush=True)
+    rows = {}
+    const, cfa, cfb = gates.GATE_TABLE["AND"]
+
+    @jax.jit
+    def woks_step(dep, tv, cloud):
+        x = LweCiphertext(tv.a, tv.b + 0 * dep[: tv.b.shape[0]], tv.cv)
+        a_ext, b_ext, cv = bs.bootstrap_woks(x, jnp.int32(gates.MU), cloud)
+        return b_ext
+
+    @jax.jit
+    def ks_step(dep, a_ext, b_ext, cv, cloud):
+        out = bs.key_switch(a_ext + (0 * dep)[:, None], b_ext,
+                            cloud.ks_table, cv, cloud.params)
+        return out.b
+
+    def chain(step, dep0, iters=20):
+        dep = step(dep0)
+        for _ in range(3):
+            dep = step(dep)
+        np.asarray(dep)
+        t0 = time.time()
+        for _ in range(iters):
+            dep = step(dep)
+        np.asarray(dep)
+        return (time.time() - t0) / iters
+
+    for nb in (2, 4, 8, 16, 32):
+        rng = np.random.RandomState(nb)
+        a = rng.randint(0, 2, size=nb).astype(np.int32)
+        b = rng.randint(0, 2, size=nb).astype(np.int32)
+        ca = tt.encrypt_bits(sk, a, seed=1500 + nb)
+        cb = tt.encrypt_bits(sk, b, seed=1600 + nb)
+        tv = gates._affine2(ca, cb, jnp.int32(const), jnp.int32(cfa), jnp.int32(cfb))
+        a_ext, b_ext, cv = jax.jit(
+            lambda t, c: bs.bootstrap_woks(t, jnp.int32(gates.MU), c))(tv, sk.cloud)
+        jax.block_until_ready(b_ext)
+
+        dep0 = jnp.zeros((nb,), jnp.int32)
+        t_bs = chain(lambda d: woks_step(d, tv, sk.cloud), dep0)
+        t_ks = chain(lambda d: ks_step(d, a_ext, b_ext, cv, sk.cloud), dep0)
+        t_full, out = _timed_chain(lambda x, y: gates.AND(x, y, sk.cloud), ca, cb)
+        assert np.array_equal(tt.decrypt_bits(sk, out), a & b)
+        misc = max(t_full - t_bs - t_ks, 0.0)
+        rbs, rks, rmisc = REF_GPU["gate_phases"][nb]
+        rows[nb] = {"bs_s": round(t_bs, 5), "ks_s": round(t_ks, 5),
+                    "misc_s": round(misc, 5), "total_s": round(t_full, 5),
+                    "ref_gpu_bs_s": rbs, "ref_gpu_ks_s": rks, "ref_gpu_misc_s": rmisc}
+        print(f"  phases {nb:3d} bits: BS {t_bs*1e3:7.1f} ms  KS {t_ks*1e3:6.1f} ms  "
+              f"misc {misc*1e3:5.1f} ms  total {t_full*1e3:7.1f} ms  "
+              f"(ref BS {rbs*1e3:.1f} KS {rks*1e3:.2f})", flush=True)
+    report["gate_phases"] = rows
+    report["rtt_s"] = round(rtt, 4)
 
 
 def bench_compound(sk, report):
@@ -210,37 +295,57 @@ def bench_mul(sk, report):
 
 
 def bench_vector(sk, report):
-    """Tables VI+VIII: 16-bit vector add / multiply over lengths 4..32."""
-    nb = 16
-    rows_add, rows_mul = {}, {}
-    for L in (4, 8, 16, 32):
-        rng = np.random.RandomState(L)
-        va = rng.randint(0, 1 << (nb - 2), size=L)
-        vb = rng.randint(0, 1 << (nb - 2), size=L)
-        cva = arith.encrypt_int(sk, va, nb, seed=700 + L)
-        cvb = arith.encrypt_int(sk, vb, nb, seed=800 + L)
-        dta, outa = _timed(lambda x, y: linalg.vector_add(x, y, sk.cloud), cva, cvb)
-        assert np.array_equal(arith.decrypt_int(sk, outa),
-                              [_signed(int(x + y), nb) for x, y in zip(va, vb)])
-        ra = REF_GPU["vector_add_16bit"].get(L)
-        rows_add[L] = {"s": round(dta, 3), "ref_gpu_s": ra,
-                       "speedup": round(ra / dta, 2) if ra else None}
-        print(f"  vec add  L={L:2d}: {dta:7.3f}s (ref {ra}s)", flush=True)
-    for L in (4, 16):
-        rng = np.random.RandomState(L)
-        va = rng.randint(0, 1 << (nb // 2 - 1), size=L)
-        vb = rng.randint(0, 1 << (nb // 2 - 1), size=L)
-        cva = arith.encrypt_int(sk, va, nb, seed=900 + L)
-        cvb = arith.encrypt_int(sk, vb, nb, seed=1000 + L)
-        dtm, outm = _timed(lambda x, y: linalg.vector_mul(x, y, sk.cloud), cva, cvb)
-        assert np.array_equal(arith.decrypt_int(sk, outm),
-                              [_signed(int(x * y), nb) for x, y in zip(va, vb)])
-        rm = REF_GPU["vector_mul_16bit"].get(L)
-        rows_mul[L] = {"s": round(dtm, 3), "ref_gpu_s": rm,
-                       "speedup": round(rm / dtm, 2) if rm else None}
-        print(f"  vec mul  L={L:2d}: {dtm:7.3f}s (ref {rm}s)", flush=True)
-    report["vector_add"] = rows_add
-    report["vector_mul"] = rows_mul
+    """Tables VI+VIII, BOTH width columns (16- and 32-bit) over lengths 4..32,
+    plus BASELINE config 4's 64-element vector add + compare (the paper
+    publishes no GPU compare number; the measured row stands alone)."""
+    for nb in (16, 32):
+        rows_add, rows_mul = {}, {}
+        for L in (4, 8, 16, 32):
+            rng = np.random.RandomState(L + nb)
+            va = rng.randint(0, 1 << (nb - 2), size=L)
+            vb = rng.randint(0, 1 << (nb - 2), size=L)
+            cva = arith.encrypt_int(sk, va, nb, seed=700 + L + nb)
+            cvb = arith.encrypt_int(sk, vb, nb, seed=800 + L + nb)
+            dta, outa = _timed(lambda x, y: linalg.vector_add(x, y, sk.cloud), cva, cvb)
+            assert np.array_equal(arith.decrypt_int(sk, outa),
+                                  [_signed(int(x + y), nb) for x, y in zip(va, vb)])
+            ra = REF_GPU[f"vector_add_{nb}bit"].get(L)
+            rows_add[L] = {"s": round(dta, 3), "ref_gpu_s": ra,
+                           "speedup": round(ra / dta, 2) if ra else None}
+            print(f"  vec add  {nb}b L={L:2d}: {dta:7.3f}s (ref {ra}s)", flush=True)
+        for L in (4, 8, 16, 32):
+            rng = np.random.RandomState(L + nb)
+            va = rng.randint(0, 1 << (nb // 2 - 1), size=L)
+            vb = rng.randint(0, 1 << (nb // 2 - 1), size=L)
+            cva = arith.encrypt_int(sk, va, nb, seed=900 + L + nb)
+            cvb = arith.encrypt_int(sk, vb, nb, seed=1000 + L + nb)
+            dtm, outm = _timed(lambda x, y: linalg.vector_mul(x, y, sk.cloud), cva, cvb)
+            assert np.array_equal(arith.decrypt_int(sk, outm),
+                                  [_signed(int(x * y), nb) for x, y in zip(va, vb)])
+            rm = REF_GPU[f"vector_mul_{nb}bit"].get(L)
+            rows_mul[L] = {"s": round(dtm, 3), "ref_gpu_s": rm,
+                           "speedup": round(rm / dtm, 2) if rm else None}
+            print(f"  vec mul  {nb}b L={L:2d}: {dtm:7.3f}s (ref {rm}s)", flush=True)
+        suffix = "" if nb == 16 else "_32bit"
+        report["vector_add" + suffix] = rows_add
+        report["vector_mul" + suffix] = rows_mul
+
+    # BASELINE config 4: 64-element vector add + compare, 16-bit
+    nb, L = 16, 64
+    rng = np.random.RandomState(64)
+    va = rng.randint(0, 1 << (nb - 2), size=L)
+    vb = rng.randint(0, 1 << (nb - 2), size=L)
+    cva = arith.encrypt_int(sk, va, nb, seed=7164)
+    cvb = arith.encrypt_int(sk, vb, nb, seed=7264)
+    dta, outa = _timed(lambda x, y: linalg.vector_add(x, y, sk.cloud), cva, cvb)
+    assert np.array_equal(arith.decrypt_int(sk, outa),
+                          [_signed(int(x + y), nb) for x, y in zip(va, vb)])
+    dtc, outc = _timed(lambda x, y: arith.gt(x, y, sk.cloud), cva, cvb)
+    got = tt.decrypt_bits(sk, outc)
+    assert np.array_equal(got, (va > vb).astype(np.int32))
+    report["vector64"] = {"add_s": round(dta, 3), "compare_s": round(dtc, 3),
+                          "elements": L, "bits": nb, "ref_gpu_s": None}
+    print(f"  vec64 16b: add {dta:.3f}s  compare {dtc:.3f}s", flush=True)
 
 
 def bench_matmul(sk, report):

@@ -65,11 +65,12 @@ def main():
           f"max {rel.max():.4f}   (failure threshold: 1.0 == 1/8 on the torus; "
           f"2.0 would flip the sign)")
 
-    # --- deep-circuit noise: MUX-carry adder chains ------------------------
-    # The 4-bootstrap full adder's carry is a MUX output (two bootstrap
-    # outputs summed + key switch), then amplified x2 in the next XOR affine
-    # — the noisiest phase anywhere in the framework. Exercise 31 chained
-    # stages (32-bit adds) across a batch and report result-bit phase stats.
+    # --- deep-circuit noise: 3-input-gate adder chains ---------------------
+    # The 2-bootstrap full adder (gates.full_adder) sums THREE bootstrapped
+    # samples per affine and amplifies the sum image x2 — the noisiest phase
+    # anywhere in the framework (margin 1/4 like XOR, amplitude sqrt(3/2)
+    # of the old 2-input path). Exercise 31 chained carry stages (32-bit
+    # adds) across a batch and report result-bit phase stats.
     from tfhe_tpu import arith
     nb, pairs = 32, 64
     av = rng.randint(0, 1 << (nb - 2), size=pairs)
