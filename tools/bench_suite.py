@@ -364,14 +364,16 @@ def bench_matmul(sk, report):
         cmb = arith.encrypt_int(sk, mb, nb, seed=1200 + D)
         want = [[_signed(int(v), nb) for v in row] for row in (ma @ mb)]
         # D >= 8 runs take minutes: single timed run (gate programs are
-        # power-of-two bucketed, so smaller sizes warm the same programs),
-        # and skip the Cannon twin (same circuits; measured at 2/4).
+        # power-of-two bucketed, so smaller sizes warm the same programs).
+        # Cannon twin measured through 8x8 (Table IX is the Cannon column);
+        # at 16x16 the circuits are identical per-round, so tree stands in.
         big = D >= 8
         dtf, outf = _timed(lambda x, y: linalg.matmul(x, y, sk.cloud), cma, cmb,
                            warmup=not big)
         assert arith.decrypt_int(sk, outf).tolist() == want
-        if not big:
-            dtc, outc = _timed(lambda x, y: linalg.cannon_matmul(x, y, sk.cloud), cma, cmb)
+        if D <= 8:
+            dtc, outc = _timed(lambda x, y: linalg.cannon_matmul(x, y, sk.cloud),
+                               cma, cmb, warmup=not big)
             assert arith.decrypt_int(sk, outc).tolist() == want
         else:
             dtc = None
@@ -385,8 +387,9 @@ def bench_matmul(sk, report):
     report["matmul"] = rows
 
 
-EXPS = {"gates": bench_gates, "compound": bench_compound, "add": bench_add,
-        "mul": bench_mul, "vector": bench_vector, "matmul": bench_matmul}
+EXPS = {"gates": bench_gates, "compound": bench_compound, "phases": bench_phases,
+        "add": bench_add, "mul": bench_mul, "vector": bench_vector,
+        "matmul": bench_matmul}
 
 
 def main(argv=None):
