@@ -58,6 +58,15 @@ def test_mul(toy_keys):
     np.testing.assert_array_equal(out, [_signed(x * y) for x, y in zip(a, b)])
 
 
+def test_mul_plain(toy_keys):
+    sk = toy_keys
+    a = np.array([3, 5, -2], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=29)
+    for k in (0, 1, 2, 3, 5, 7):
+        out = arith.decrypt_int(sk, arith.mul_plain(ca, k, sk.cloud))
+        np.testing.assert_array_equal(out, [_signed(x * k) for x in a])
+
+
 def test_comparisons(toy_keys):
     sk = toy_keys
     a = np.array([3, -2, 5, 4], np.int64)

@@ -33,6 +33,22 @@ def test_vector_sum(toy_keys):
     assert s == 7
 
 
+def test_vector_sum_csa_vs_tree(toy_keys):
+    """The carry-save reduction equals the reference-shaped pairwise tree on
+    every row-count class mod 3 (exercises the leftover-rows path and the
+    final 1- and 2-row terminations)."""
+    sk = toy_keys
+    for L in (2, 3, 5, 7):
+        a = np.arange(1, L + 1, dtype=np.int64)
+        ca = arith.encrypt_int(sk, a, NB, seed=50 + L)
+        got_csa = arith.decrypt_int(sk, arith._csa_reduce_rows(ca, sk.cloud))
+        got_tree = arith.decrypt_int(
+            sk, arith._tree_sum_rows(ca, arith.add, sk.cloud))
+        want = int(a.sum()) & ((1 << NB) - 1)
+        want = want - (1 << NB) if want & (1 << (NB - 1)) else want
+        assert int(got_csa) == want == int(got_tree)
+
+
 def test_matmul_2x2(toy_keys):
     sk = toy_keys
     a = np.array([[1, 2], [0, 3]], np.int64)

@@ -42,8 +42,8 @@ def linear_regression(cx: LweCiphertext, cy: LweCiphertext, cloud):
     n_triv = arith.trivial_bits(
         ((np.int64(n_rows) >> np.arange(nbits)) & 1).astype(np.int32), cx.n,
         batch_shape=sx.batch_shape)
-    n_sxy = arith.mul(n_triv, sxy, cloud)
-    n_sxx = arith.mul(n_triv, sxx, cloud)
+    n_sxy = arith.mul_plain(sxy, n_rows, cloud)   # n is public: no AND bootstraps
+    n_sxx = arith.mul_plain(sxx, n_rows, cloud)
     sx_sy = arith.mul(sx, sy, cloud)
     sx_sx = arith.mul(sx, sx, cloud)
 
@@ -86,8 +86,8 @@ def linear_regression_binary(cx_bits: LweCiphertext, cy: LweCiphertext, cloud):
     n_triv = arith.trivial_bits(
         ((np.int64(n_rows) >> np.arange(nbits)) & 1).astype(np.int32), cy.n,
         batch_shape=sx.batch_shape)
-    n_sxy = arith.mul(n_triv, sxy, cloud)
-    n_sxx = arith.mul(n_triv, sxx, cloud)
+    n_sxy = arith.mul_plain(sxy, n_rows, cloud)   # n is public: no AND bootstraps
+    n_sxx = arith.mul_plain(sxx, n_rows, cloud)
     sx_sy = arith.mul(sx, sy, cloud)
     sx_sx = arith.mul(sx, sx, cloud)
 

@@ -5,9 +5,10 @@ Ports every circuit of the reference's arithmetic layer to batched TPU gates:
 - number-wise carry-save add  <- taskLevelParallelAdd (main.cu:619-652)
 - two's complement            <- twosComplement (cpuParallel/Cipher.cpp:300-311)
 - subtraction                 <- operator- (Cipher.cpp:342-345)
-- shift-and-add multiplier    <- multiplyLweSamples (main.cu:1483-1579), with the
-                                 iBits^2 AND matrix in ONE bootstrap batch and the
-                                 log-tree reduction (paper section V-B2)
+- shift-and-add multiplier    <- multiplyLweSamples (main.cu:1483-1579), with
+                                 the triangle AND matrix in ONE bootstrap batch
+                                 and a Wallace carry-save reduction in place of
+                                 the log-tree (paper section V-B2)
 - comparison (>, <=, ==)      <- Cipher.cpp:597-644
 - minimum / compare_bit       <- Cipher.cpp:313-340
 - absolute                    <- Cipher.cpp:483-505
@@ -192,38 +193,145 @@ def mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Shift-and-add multiplication, nbits-bit truncated result
     (ref multiplyLweSamples, main.cu:1483-1579):
 
-    1. all nbits^2 partial-product ANDs in ONE bootstrap batch,
-    2. shifted partial products padded with trivial zeros,
-    3. log2-tree reduction with the batched ripple adder (paper Fig. 4).
+    1. the triangle partial-product ANDs in ONE bootstrap batch,
+    2. Wallace carry-save reduction of the weighted product bits
+       (`_wallace_sum_bits` — the TPU-native form of the reference's
+       log2-tree accumulation, paper Fig. 4),
+    3. one final ripple add.
     """
     nbits = a.batch_shape[-1]
-    lead = a.batch_shape[:-1]
-    # partial products, TRUNCATION-AWARE: row i shifted left by i only
-    # contributes bits j < nbits - i of a, so only the nbits*(nbits+1)/2
-    # triangle pairs are bootstrapped (136 vs 256 ANDs at 16 bits) — the
-    # reference computes the full iBits^2 matrix (main.cu:1524-1526).
-    # Assembly is all single-gather ops (lwe_take), not per-slice loops.
+    # partial products, TRUNCATION-AWARE: bit j of a times bit i of b lands at
+    # column i+j, so only the nbits*(nbits+1)/2 triangle pairs with i+j < nbits
+    # are bootstrapped (136 vs 256 ANDs at 16 bits) — the reference computes
+    # the full iBits^2 matrix (main.cu:1524-1526). The products feed the
+    # Wallace compressor directly as (bit, column) pairs; no row scatter.
     pairs = [(i, j) for i in range(nbits) for j in range(nbits - i)]
-    P = len(pairs)
     lhs = lwe_take(a, np.array([j for (_, j) in pairs]), axis=-1)   # [..., P]
     rhs = lwe_take(b, np.array([i for (i, _) in pairs]), axis=-1)   # [..., P]
     pp = gates.AND(lhs, rhs, cloud)                                 # [..., P]
-    # scatter into the pre-shifted row matrix via one gather from pp ++ [0]:
-    # rows[i, k] = pp[pos(i, k-i)] for k >= i, else the trivial-zero slot P
-    pos = np.full((nbits, nbits), P, np.int32)
-    off = 0
-    for i in range(nbits):
-        for j in range(nbits - i):
-            pos[i, i + j] = off + j
-        off += nbits - i
-    ppz = lwe_concat([pp, zero_like_bits(a, lead + (1,))], axis=-1)
-    rows = lwe_take(ppz, pos.reshape(-1), axis=-1).reshape(lead + (nbits, nbits))
-    return _tree_sum_rows(rows, add, cloud)
+    cols = np.array([i + j for (i, j) in pairs])
+    return _wallace_sum_bits(pp, cols, nbits, cloud)
+
+
+def _dadda_targets(max_count: int):
+    """Dadda's height sequence 2, 3, 4, 6, 9, 13, ... — each level only
+    compresses down to the next target, which provably needs the minimum
+    number of levels and avoids the carry-dribble tail of naive Wallace
+    (columns re-opened by a single incoming carry)."""
+    t = [2]
+    while t[-1] < max_count:
+        t.append((t[-1] * 3) // 2)
+    return t
+
+
+def _dadda_plan(cc: np.ndarray, nbits: int, target: int):
+    """Static schedule of one Dadda level: per column (LSB first, tracking the
+    carries the level itself sends upward), pick just enough full adders
+    (reduce a column by 2) and at most one half adder (reduce by 1) to bring
+    the post-level height to <= target. A half adder is a full adder whose
+    third input is the trivial-zero slot (index -1)."""
+    xi, yi, zi, keep = [], [], [], []
+    carry_in = 0
+    for c in range(nbits):
+        idx = np.flatnonzero(cc == c)
+        m = len(idx)
+        r = max(0, m + carry_in - target)            # height excess to remove
+        k_fa = min(r // 2, m // 3)
+        k_ha = min(r - 2 * k_fa, (m - 3 * k_fa) // 2)
+        p = 0
+        for _ in range(k_fa):
+            xi.append(idx[p]); yi.append(idx[p + 1]); zi.append(idx[p + 2])
+            p += 3
+        for _ in range(k_ha):
+            xi.append(idx[p]); yi.append(idx[p + 1]); zi.append(-1)
+            p += 2
+        keep.extend(idx[p:])
+        carry_in = k_fa + k_ha                       # new bits entering c+1
+    return (np.array(xi, np.int64), np.array(yi, np.int64),
+            np.array(zi, np.int64), np.array(keep, np.int64))
+
+
+def _wallace_sum_bits(cur: LweCiphertext, cc: np.ndarray, nbits: int,
+                      cloud) -> LweCiphertext:
+    """Wallace-tree carry-save reduction of weighted bits, then ONE final
+    ripple add — the TPU-native replacement for the reference's pairwise
+    log-tree accumulation (main.cu:1547-1569, `_tree_sum_rows` below).
+
+    cur: [..., M] encrypted bits; cc: static int[M] column (bit position) of
+    each. Every level compresses all column triples with ONE batched
+    `gates.full_adder` call (sum stays in its column, carry moves up one;
+    carries out of column nbits-1 are 2^nbits multiples and are DROPPED
+    before they cost a bootstrap — the mod-2^nbits truncation semantics of
+    the reference's tree). There is no carry chain inside a level, so the
+    serial depth collapses from O(log2 R * nbits) dependent dispatches to
+    O(log_{3/2} R) batched levels + one ripple add, and the bootstrap count
+    is bounded by 2 per bit removed (strictly fewer than the pairwise tree,
+    which bootstraps full nbits-wide adders even over known-trivial columns).
+    All bit plumbing is static gathers (lwe_take) — one device op per level
+    per field."""
+    targets = _dadda_targets(int(np.bincount(cc, minlength=nbits).max()))
+    for target in reversed(targets[:-1] or [2]):
+        if np.bincount(cc, minlength=nbits + 1).max() <= 2:
+            break
+        xi, yi, zi, keep = _dadda_plan(cc, nbits, target)
+        if not xi.size:
+            continue
+        # z index -1 = trivial-zero slot (half adder as FA with zero carry-in)
+        curz = lwe_concat(
+            [cur, zero_like_bits(cur, cur.batch_shape[:-1] + (1,))], axis=-1)
+        s, c = gates.full_adder(lwe_take(cur, xi, -1), lwe_take(cur, yi, -1),
+                                lwe_take(curz, zi, -1), cloud)
+        scols = cc[xi]
+        live = np.flatnonzero(scols + 1 < nbits)   # carries above nbits drop
+        parts, ncc = [s], [scols]
+        if live.size:
+            parts.append(lwe_take(c, live, -1))
+            ncc.append(scols[live] + 1)
+        if keep.size:
+            parts.append(lwe_take(cur, keep, -1))
+            ncc.append(cc[keep])
+        cur = lwe_concat(parts, axis=-1)
+        cc = np.concatenate(ncc)
+    assert np.bincount(cc, minlength=nbits + 1).max() <= 2, \
+        "Dadda schedule under-delivered"
+    # <= 2 bits per column: assemble two rows (trivial-zero filled) + ripple
+    M = len(cc)
+    r0 = np.full(nbits, M, np.int64)
+    r1 = np.full(nbits, M, np.int64)
+    for p in range(M):
+        c = cc[p]
+        if r0[c] == M:
+            r0[c] = p
+        elif r1[c] == M:
+            r1[c] = p
+    curz = lwe_concat(
+        [cur, zero_like_bits(cur, cur.batch_shape[:-1] + (1,))], axis=-1)
+    row0 = lwe_take(curz, r0, axis=-1)
+    if (r1 == M).all():
+        return row0
+    return add(row0, lwe_take(curz, r1, axis=-1), cloud)
+
+
+def _csa_reduce_rows(rows: LweCiphertext, cloud) -> LweCiphertext:
+    """Carry-save reduction of equal-width rows over axis -2: flattens the
+    rows into (bit, column) pairs and runs the Wallace compressor
+    (`_wallace_sum_bits`). Same mod-2^nbits truncated sum as the reference's
+    pairwise log-tree, ~nbits/2 x fewer serial stages, and no bootstraps on
+    carries that fall off the top."""
+    R, nbits = rows.batch_shape[-2], rows.batch_shape[-1]
+    if R == 1:
+        return rows[..., 0, :]
+    lead = rows.batch_shape[:-2]
+    flat = rows.reshape(lead + (R * nbits,))
+    cols = np.tile(np.arange(nbits), R)
+    return _wallace_sum_bits(flat, cols, nbits, cloud)
 
 
 def _tree_sum_rows(rows: LweCiphertext, add_fn, cloud) -> LweCiphertext:
     """Log-tree reduction over axis -2 (main.cu:1547-1569), keeping the rows
-    as ONE tensor (halved by slicing each level — no per-row stack loops)."""
+    as ONE tensor (halved by slicing each level — no per-row stack loops).
+    Kept as the reference-shaped alternative; the default reduction is
+    `_csa_reduce_rows` (same bootstraps, ~nbits/2 x fewer serial stages)."""
     R = rows.batch_shape[-2]
     while R > 1:
         half = R // 2
@@ -236,25 +344,40 @@ def _tree_sum_rows(rows: LweCiphertext, add_fn, cloud) -> LweCiphertext:
     return rows[..., 0, :]
 
 
+def mul_plain(a: LweCiphertext, value: int, cloud) -> LweCiphertext:
+    """a * public integer constant, mod 2^nbits. Where the reference would
+    multiply by a plaintext (e.g. the public row count n in the linreg normal
+    equations, paper section VI-G), the partial-product selection is static:
+    NO AND bootstraps — the constant's set bits contribute copies of a's bits
+    directly into the Wallace compressor."""
+    nbits = a.batch_shape[-1]
+    value = int(value) & ((1 << nbits) - 1)
+    shifts = [s for s in range(nbits) if (value >> s) & 1]
+    if not shifts:
+        return zero_like_bits(a, a.batch_shape)
+    if len(shifts) == 1:
+        return left_shift(a, shifts[0])
+    pairs = [(j, s + j) for s in shifts for j in range(nbits - s)]
+    bits = lwe_take(a, np.array([j for (j, _) in pairs]), axis=-1)
+    cols = np.array([c for (_, c) in pairs])
+    return _wallace_sum_bits(bits, cols, nbits, cloud)
+
+
 def mul_mux(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """MUX-based shift-and-add multiplier — the reference CPU framework's
     alternative `mul` (ref mulBinary path inside Cipher::mul,
     cpuParallel/Cipher.cpp:126-176): partial product i is
-    MUX(b_i, a << i, 0) (one batched MUX for all rows), then the same
-    log-tree reduction as `mul`."""
+    MUX(b_i, a << i, 0) (one batched MUX for the whole triangle), then the
+    same Wallace reduction as `mul`."""
     nbits = a.batch_shape[-1]
-    lead = a.batch_shape[:-1]
-    # shifted[i, k] = a[k - i] for k >= i else trivial zero: one gather
-    az = lwe_concat([a, zero_like_bits(a, lead + (1,))], axis=-1)
-    pos = np.full((nbits, nbits), nbits, np.int32)
-    for i in range(nbits):
-        pos[i, i:] = np.arange(nbits - i)
-    shifted = lwe_take(az, pos.reshape(-1), axis=-1).reshape(lead + (nbits, nbits))
-    sel = lwe_take(b, np.repeat(np.arange(nbits), nbits), axis=-1) \
-        .reshape(lead + (nbits, nbits))                    # [..., i, j] = b_i
-    zeros = zero_like_bits(a, shifted.batch_shape)
-    rows = gates.MUX(sel, shifted, zeros, cloud)           # [..., nbits, nbits]
-    return _tree_sum_rows(rows, add, cloud)
+    # truncation-aware like `mul`: only triangle positions i+j < nbits
+    pairs = [(i, j) for i in range(nbits) for j in range(nbits - i)]
+    sel = lwe_take(b, np.array([i for (i, _) in pairs]), axis=-1)   # [..., P]
+    val = lwe_take(a, np.array([j for (_, j) in pairs]), axis=-1)
+    zeros = zero_like_bits(a, val.batch_shape)
+    ppm = gates.MUX(sel, val, zeros, cloud)                         # [..., P]
+    cols = np.array([i + j for (i, j) in pairs])
+    return _wallace_sum_bits(ppm, cols, nbits, cloud)
 
 
 def mul_full(a: LweCiphertext, b: LweCiphertext, cloud, out_bits: int) -> LweCiphertext:

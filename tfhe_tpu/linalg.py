@@ -27,9 +27,11 @@ def vector_mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
 
 
 def vector_sum(v: LweCiphertext, cloud) -> LweCiphertext:
-    """Sum of a vector of numbers by pairwise log-tree reduction
-    (ref BOOTS_Add_vector, main.cu:1033-1136). v: [..., L, nbits] -> [..., nbits]."""
-    return arith._tree_sum_rows(v, arith.add, cloud)
+    """Sum of a vector of numbers (ref BOOTS_Add_vector, main.cu:1033-1136),
+    via the carry-save 3:2 reduction (arith._csa_reduce_rows — same bootstrap
+    count as the reference's pairwise tree, ~nbits/2 x fewer serial stages).
+    v: [..., L, nbits] -> [..., nbits]."""
+    return arith._csa_reduce_rows(v, cloud)
 
 
 def matrix_add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
