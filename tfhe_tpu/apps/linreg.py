@@ -73,12 +73,12 @@ def linear_regression_binary(cx_bits: LweCiphertext, cy: LweCiphertext, cloud):
     zeros = arith.zero_like_bits(cy, cy.batch_shape)
     xy = gates.MUX(xmask, cy, zeros, cloud)                  # x_i * y_i, one MUX batch
 
-    # an encrypted bit IS bit 0 of the integer encoding (same +-1/8 message)
-    zero_pad = arith.zero_like_bits(cy, cy.batch_shape[:-1] + (nbits - 1,))
-    from ..core.lwe import lwe_concat
-    x_as_int = lwe_concat([xmask[..., :1], zero_pad], axis=-1)   # [n_rows, nbits]
-
-    sx = linalg.vector_sum(x_as_int, cloud)
+    # an encrypted bit IS bit 0 of the integer encoding (same +-1/8 message),
+    # so Sx is a POPCOUNT: feed the n_rows bits straight into the Wallace
+    # compressor at column 0 — no zero-padded integers (padding would spend
+    # bootstraps compressing trivial zeros in columns 1..nbits-1)
+    sx = arith._wallace_sum_bits(
+        cx_bits, np.zeros(n_rows, np.int64), nbits, cloud)
     sy = linalg.vector_sum(cy, cloud)
     sxy = linalg.vector_sum(xy, cloud)
     sxx = sx                                                 # x in {0,1} -> x^2 == x
