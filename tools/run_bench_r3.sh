@@ -1,0 +1,14 @@
+#!/bin/bash
+# Round-3 sequential TPU bench session (one process at a time — axon AOT
+# compiles are host-side and contend on this single-core box).
+set -x
+cd /root/repo
+echo "=== mul + vector tables (Dadda) ==="
+timeout 2400 python -u tools/bench_suite.py --exp mul vector
+echo "=== cipher api ==="
+timeout 1200 python -u tools/bench_cipher.py
+echo "=== linreg binary + numerical (Table X) ==="
+timeout 5400 python -u tools/bench_linreg.py --variant binary numerical
+echo "=== matmul 2,4,8,16 + cannon<=8 ==="
+BENCH_MATMUL_SIZES=2,4,8,16 timeout 7200 python -u tools/bench_suite.py --exp matmul
+echo "=== DONE ==="
