@@ -49,6 +49,19 @@ def test_vector_sum_csa_vs_tree(toy_keys):
         assert int(got_csa) == want == int(got_tree)
 
 
+def test_dot_fused(toy_keys):
+    """arith.dot (fused carry-save contraction) == plaintext inner product,
+    including a leading batch axis and the mod-2^nbits wrap."""
+    sk = toy_keys
+    a = np.array([[1, 2, 3], [7, 5, 2]], np.int64)     # [B=2, K=3]
+    b = np.array([[3, 1, 2], [1, 3, 4]], np.int64)
+    ca = arith.encrypt_int(sk, a, NB, seed=60)          # [2, 3, NB]
+    cb = arith.encrypt_int(sk, b, NB, seed=61)
+    got = arith.decrypt_int(sk, arith.dot(ca, cb, sk.cloud))
+    want = [_signed((x * y).sum()) for x, y in zip(a, b)]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_matmul_2x2(toy_keys):
     sk = toy_keys
     a = np.array([[1, 2], [0, 3]], np.int64)

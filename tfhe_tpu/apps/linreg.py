@@ -34,10 +34,11 @@ def linear_regression(cx: LweCiphertext, cy: LweCiphertext, cloud):
 
     sx = linalg.vector_sum(cx, cloud)                        # [nbits]
     sy = linalg.vector_sum(cy, cloud)
-    xy = arith.mul(cx, cy, cloud)                            # [n_rows, nbits]
-    xx = arith.mul(cx, cx, cloud)
-    sxy = linalg.vector_sum(xy, cloud)
-    sxx = linalg.vector_sum(xx, cloud)
+    # Sxy and Sxx are inner products over the row axis: the fused carry-save
+    # contraction (arith.dot) skips the n_rows per-product carry chains that
+    # mul-then-sum would pay.
+    sxy = arith.dot(cx, cy, cloud)
+    sxx = arith.dot(cx, cx, cloud)
 
     n_triv = arith.trivial_bits(
         ((np.int64(n_rows) >> np.arange(nbits)) & 1).astype(np.int32), cx.n,

@@ -205,12 +205,42 @@ def mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     # are bootstrapped (136 vs 256 ANDs at 16 bits) — the reference computes
     # the full iBits^2 matrix (main.cu:1524-1526). The products feed the
     # Wallace compressor directly as (bit, column) pairs; no row scatter.
-    pairs = [(i, j) for i in range(nbits) for j in range(nbits - i)]
-    lhs = lwe_take(a, np.array([j for (_, j) in pairs]), axis=-1)   # [..., P]
-    rhs = lwe_take(b, np.array([i for (i, _) in pairs]), axis=-1)   # [..., P]
+    ja, ib, cols = _mul_triangle(nbits)
+    lhs = lwe_take(a, ja, axis=-1)                                  # [..., P]
+    rhs = lwe_take(b, ib, axis=-1)                                  # [..., P]
     pp = gates.AND(lhs, rhs, cloud)                                 # [..., P]
-    cols = np.array([i + j for (i, j) in pairs])
     return _wallace_sum_bits(pp, cols, nbits, cloud)
+
+
+def _mul_triangle(nbits: int):
+    """Static (bit-of-a, bit-of-b, column) index plan for a truncated
+    nbits x nbits product: only pairs with i + j < nbits contribute below the
+    2^nbits cut (the reference computes the full iBits^2 matrix,
+    main.cu:1524-1526)."""
+    pairs = [(i, j) for i in range(nbits) for j in range(nbits - i)]
+    return (np.array([j for (_, j) in pairs]),
+            np.array([i for (i, _) in pairs]),
+            np.array([i + j for (i, j) in pairs]))
+
+
+def dot(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Fused inner product along axis -2: sum_k a[..., k, :] * b[..., k, :]
+    mod 2^nbits. All K products' triangle partial-product ANDs run as ONE
+    bootstrap batch, and the union of weighted product bits feeds ONE Wallace
+    compressor with ONE final carry-propagate adder — where mul-then-sum pays
+    a full ripple adder per product (K extra carry chains per output element)
+    before re-compressing the results. Same truncated semantics as the
+    reference's per-element multiply + log-tree accumulation
+    (BOOTS_matrixMultiplication, main.cu:2342-2462); the carry-save fusion
+    across the contraction has no reference counterpart."""
+    K, nbits = a.batch_shape[-2], a.batch_shape[-1]
+    ja, ib, cols = _mul_triangle(nbits)
+    lhs = lwe_take(a, ja, axis=-1)                     # [..., K, P]
+    rhs = lwe_take(b, ib, axis=-1)
+    pp = gates.AND(lhs, rhs, cloud)                    # [..., K, P]
+    lead = a.batch_shape[:-2]
+    flat = pp.reshape(lead + (K * len(cols),))
+    return _wallace_sum_bits(flat, np.tile(cols, K), nbits, cloud)
 
 
 def _dadda_targets(max_count: int):

@@ -40,10 +40,12 @@ def matrix_add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
 
 
 def matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
-    """Matrix multiply: ALL r*c2*c element products as one batched multiply,
-    then a log-tree add over the contraction axis
-    (ref BOOTS_matrixMultiplication, main.cu:2342-2462 with the
-    matMul_prepareLeftMat/RightMat duplication, matrixUtility.cu:65-96).
+    """Matrix multiply: ALL r*c2*c element products' partial-product ANDs as
+    ONE bootstrap batch, then ONE fused carry-save contraction per output
+    element (`arith.dot`) — the reference multiplies every element pair and
+    log-tree-accumulates the results (ref BOOTS_matrixMultiplication,
+    main.cu:2342-2462 with the matMul_prepareLeftMat/RightMat duplication,
+    matrixUtility.cu:65-96); the fusion skips its K per-product carry chains.
 
     a: [R, K, nbits]; b: [K, C, nbits] -> [R, C, nbits].
     """
@@ -53,8 +55,7 @@ def matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     a_exp = lwe_stack([a] * C, axis=1)            # [R, C, K, nbits]
     b_t = lwe_stack([b[:, j] for j in range(C)], axis=0)   # [C, K, nbits]
     b_exp = lwe_stack([b_t] * R, axis=0)          # [R, C, K, nbits]
-    prods = arith.mul(a_exp, b_exp, cloud)        # [R, C, K, nbits]
-    return vector_sum(prods, cloud)               # tree over K
+    return arith.dot(a_exp, b_exp, cloud)         # fused contraction over K
 
 
 def cannon_matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
@@ -64,9 +65,18 @@ def cannon_matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
 
     Single-chip version (rotations are array rolls); the mesh version with ICI
     ppermute lives in tfhe_tpu.parallel.cannon. a, b: [D, D, nbits].
+
+    The per-round multiply+accumulate is kept in CARRY-SAVE form: each round
+    contributes its triangle partial-product ANDs (one bootstrap batch) to a
+    per-element bit pool, and a single Wallace compression + one ripple add
+    run after the last round — the reference accumulates with a full adder
+    every round (main.cu:2618-2631), paying D carry chains per element.
     """
     import jax.numpy as jnp
+    import numpy as np
+    from .core.lwe import lwe_take, lwe_concat
     D = a.batch_shape[0]
+    nbits = a.batch_shape[-1]
 
     def roll_rows(x: LweCiphertext, shifts_per_row):
         rows = []
@@ -89,10 +99,13 @@ def cannon_matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     # initial skew: row i of A left-rotated by i, col j of B up-rotated by j
     a_sk = roll_rows(a, lambda i: i)
     b_sk = roll_cols(b, lambda j: j)
-    acc = None
+    ja, ib, cols = arith._mul_triangle(nbits)
+    pools = []
     for _ in range(D):
-        prod = arith.mul(a_sk, b_sk, cloud)       # [D, D, nbits] elementwise
-        acc = prod if acc is None else arith.add(acc, prod, cloud)
+        lhs = lwe_take(a_sk, ja, axis=-1)          # [D, D, P]
+        rhs = lwe_take(b_sk, ib, axis=-1)
+        pools.append(gates.AND(lhs, rhs, cloud))   # this round's product bits
         a_sk = roll_rows(a_sk, lambda i: 1)
         b_sk = roll_cols(b_sk, lambda j: 1)
-    return acc
+    pool = lwe_concat(pools, axis=-1)              # [D, D, D*P]
+    return arith._wallace_sum_bits(pool, np.tile(cols, D), nbits, cloud)
