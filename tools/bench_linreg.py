@@ -48,13 +48,27 @@ def _signed(v, nb):
 
 
 def _twin_div(num, den, nb):
-    """Plaintext twin of arith.div: restoring division on absolutes with the
-    XOR-sign fixup (Cipher.cpp:508-577 semantics), mod-2^nb signed."""
+    """Plaintext twin of arith.div: the exact width-limited restoring loop
+    (Cipher.cpp:508-577 semantics) — including its division-by-zero output
+    (the restore never fires, so the quotient bits come out all ones) and
+    the mod-2^nb sign-bit compare, then the XOR-sign conditional negate."""
+    m = (1 << nb) - 1
     num, den = _signed(num, nb), _signed(den, nb)
-    an, ad = abs(num) & ((1 << nb) - 1), abs(den) & ((1 << nb) - 1)
-    q = (an // ad) if ad else 0
-    if (num < 0) != (den < 0):
-        q = -q
+    an = (-num if num < 0 else num) & m
+    ad = (-den if den < 0 else den) & m
+    neg_b = (-ad) & m
+    P, A = 0, an
+    for _ in range(nb):
+        P = ((P << 1) | (A >> (nb - 1))) & m
+        A = (A << 1) & m
+        temp = (P + neg_b) & m
+        neg = (temp >> (nb - 1)) & 1            # sign bit of the mod-2^nb sum
+        A |= 1 - neg
+        if not neg:
+            P = temp
+    q = A
+    if (num < 0) != (den < 0):                  # addSign: conditional negate
+        q = (-q) & m
     return _signed(q, nb)
 
 
