@@ -208,8 +208,11 @@ def mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     ja, ib, cols = _mul_triangle(nbits)
     lhs = lwe_take(a, ja, axis=-1)                                  # [..., P]
     rhs = lwe_take(b, ib, axis=-1)                                  # [..., P]
-    pp = gates.AND(lhs, rhs, cloud)                                 # [..., P]
-    return _wallace_sum_bits(pp, cols, nbits, cloud)
+    sep = _septet_enabled()
+    pp = gates.gate2("AND", lhs, rhs, cloud,
+                     mu=gates.MU16 if sep else gates.MU)            # [..., P]
+    return _wallace_sum_bits(pp, cols, nbits, cloud,
+                             amp=np.full(len(cols), 16 if sep else 8))
 
 
 def _mul_triangle(nbits: int):
@@ -237,10 +240,13 @@ def dot(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     ja, ib, cols = _mul_triangle(nbits)
     lhs = lwe_take(a, ja, axis=-1)                     # [..., K, P]
     rhs = lwe_take(b, ib, axis=-1)
-    pp = gates.AND(lhs, rhs, cloud)                    # [..., K, P]
+    sep = _septet_enabled()
+    pp = gates.gate2("AND", lhs, rhs, cloud,
+                     mu=gates.MU16 if sep else gates.MU)            # [..., K, P]
     lead = a.batch_shape[:-2]
     flat = pp.reshape(lead + (K * len(cols),))
-    return _wallace_sum_bits(flat, np.tile(cols, K), nbits, cloud)
+    return _wallace_sum_bits(flat, np.tile(cols, K), nbits, cloud,
+                             amp=np.full(K * len(cols), 16 if sep else 8))
 
 
 def _dadda_targets(max_count: int):
@@ -281,8 +287,221 @@ def _dadda_plan(cc: np.ndarray, nbits: int, target: int):
             np.array(zi, np.int64), np.array(keep, np.int64))
 
 
+def _septet_enabled() -> bool:
+    """7:3 compressor levels on (default). TFHE_TPU_SEPTET=0 falls back to
+    the pure full-adder Dadda reduction (for A/B benchmarking)."""
+    import os
+    return os.environ.get("TFHE_TPU_SEPTET", "1") != "0"
+
+
 def _wallace_sum_bits(cur: LweCiphertext, cc: np.ndarray, nbits: int,
-                      cloud) -> LweCiphertext:
+                      cloud, amp: np.ndarray | None = None) -> LweCiphertext:
+    """Carry-save reduction of weighted bits to one number (±1/8 outputs).
+
+    cur: [..., M] encrypted bits; cc: static int[M] column of each bit;
+    amp: static int[M] in {8, 16} — the amplitude class of each bit (±1/8
+    standard gates, ±1/16 compressor-internal; None = all 8). Dispatches to
+    the 7:3 septet compressor (default) or the full-adder Dadda tree."""
+    if _septet_enabled():
+        return _wallace_sum_bits_septet(cur, cc, nbits, cloud, amp)
+    assert amp is None or (np.asarray(amp) == 8).all(), \
+        "FA fallback path requires ±1/8 bits (TFHE_TPU_SEPTET=0)"
+    return _wallace_sum_bits_fa(cur, cc, nbits, cloud)
+
+
+def _lwe_scale(ct: LweCiphertext, k: int) -> LweCiphertext:
+    """Public integer scaling (torus wrap); variance scales by k^2."""
+    return LweCiphertext(jnp.int32(k) * ct.a, jnp.int32(k) * ct.b,
+                         jnp.float32(k * k) * ct.cv)
+
+
+def _lwe_slot_sum(ct: LweCiphertext) -> LweCiphertext:
+    """Sum ciphertexts over the LAST batch axis (the compressor slot axis)."""
+    return LweCiphertext(ct.a.sum(axis=-2), ct.b.sum(axis=-1),
+                         ct.cv.sum(axis=-1))
+
+
+def _compress_level_plan(cc: np.ndarray, amp: np.ndarray, nbits: int):
+    """Greedy static schedule of one septet-compressor level.
+
+    Per column: bits at ±1/16 go 7 at a time into septets (>=5 justifies a
+    trivial-padded group: 3 bootstraps remove >=2 bits), triples of the
+    remainder into a ±1/16 full adder; bits at ±1/8 (fresh user inputs) go
+    through ±1/8 full adders whose outputs are emitted at ±1/16, converting
+    them into the compressor domain. A column that is stuck >2 high with a
+    mix the rules can't group (e.g. two ±1/16 + two ±1/8) converts its ±1/8
+    bits (half-adder for a pair, recode bootstrap for a single) so the next
+    level can combine. Returns (sept [G,7], fa16 [G,3], fa8 [G,3], rec8 [R],
+    keep [K]) index lists; -1 marks a trivial-zero pad slot."""
+    sept, fa16, fa8, rec8, keep = [], [], [], [], []
+    for c in range(nbits):
+        i16 = list(np.flatnonzero((cc == c) & (amp == 16)))
+        i8 = list(np.flatnonzero((cc == c) & (amp == 8)))
+        grouped = False
+        while len(i16) >= 5:
+            g, i16 = i16[:7], i16[7:]
+            sept.append(g + [-1] * (7 - len(g)))
+            grouped = True
+        if len(i16) >= 3:
+            fa16.append(i16[:3])
+            i16 = i16[3:]
+            grouped = True
+        while len(i8) >= 3:
+            fa8.append(i8[:3])
+            i8 = i8[3:]
+            grouped = True
+        if not grouped and len(i16) + len(i8) > 2:
+            if len(i8) >= 2:
+                fa8.append(i8[:2] + [-1])
+                i8 = i8[2:]
+            elif len(i8) == 1:
+                rec8.append(i8.pop())
+        keep.extend(i16 + i8)
+    return sept, fa16, fa8, rec8, keep
+
+
+def _wallace_sum_bits_septet(cur: LweCiphertext, cc: np.ndarray, nbits: int,
+                             cloud, amp: np.ndarray | None) -> LweCiphertext:
+    """7:3 compressor reduction: every level gathers its septet digit images
+    (coefficients 1/2/4 over one 7-way affine — see gates.py's septet
+    section), full-adder pairs, and recodes into ONE flat bootstrap batch
+    with per-image output amplitudes, so compression costs 0.75 bootstraps
+    per removed bit instead of the full adder's 2. Carries above column
+    nbits-1 never become images (mod-2^nbits truncation for free); a septet
+    whose upper digits all fall off the top compresses 7 bits to 1 with a
+    single parity bootstrap."""
+    cc = np.asarray(cc)
+    amp = (np.full(len(cc), 8) if amp is None else np.asarray(amp)).copy()
+    while len(cc) and np.bincount(cc, minlength=nbits).max() > 2:
+        sept, fa16, fa8, rec8, keep = _compress_level_plan(cc, amp, nbits)
+        M = len(cc)
+        lead = cur.batch_shape[:-1]
+        curz16 = lwe_concat(
+            [cur, gates.trivial16_zero(cur.n, lead + (1,))], axis=-1)
+        curz8 = lwe_concat(
+            [cur, zero_like_bits(cur, lead + (1,))], axis=-1)
+        parts, mus, ocols = [], [], []
+
+        def emit(u, coeff, mu, cols, live):
+            """Append scaled images for the live subset of a group batch."""
+            lv = np.flatnonzero(live)
+            if not lv.size:
+                return
+            sub = u if lv.size == u.batch_shape[-1] else lwe_take(u, lv, -1)
+            parts.append(_lwe_scale(sub, coeff) if coeff != 1 else sub)
+            mus.append(np.full(lv.size, mu, np.int32))
+            ocols.append(np.asarray(cols)[lv])
+
+        if sept:
+            idx = np.asarray(sept)                     # [G, 7], -1 pads
+            scols = cc[idx[:, 0]]
+            u = _lwe_slot_sum(lwe_take(curz16, np.where(idx < 0, M, idx), -1))
+            emit(u, 4, -gates.MU16, scols, scols < nbits)          # digit 0
+            emit(u, 2, -gates.MU16, scols + 1, scols + 1 < nbits)  # digit 1
+            emit(u, 1, +gates.MU16, scols + 2, scols + 2 < nbits)  # digit 2
+        if fa16:
+            idx = np.asarray(fa16)                     # [G, 3]
+            fcols = cc[idx[:, 0]]
+            u = _lwe_slot_sum(lwe_take(curz16, idx, -1))
+            emit(u, 4, -gates.MU16, fcols, fcols < nbits)          # sum
+            emit(u, 1, +gates.MU16, fcols + 1, fcols + 1 < nbits)  # carry
+        if fa8:
+            idx = np.asarray(fa8)                      # [G, 3], -1 pads
+            fcols = cc[idx[:, 0]]
+            u = _lwe_slot_sum(lwe_take(curz8, np.where(idx < 0, M, idx), -1))
+            emit(u, 2, -gates.MU16, fcols, fcols < nbits)          # sum
+            emit(u, 1, +gates.MU16, fcols + 1, fcols + 1 < nbits)  # carry
+        if rec8:
+            emit(lwe_take(cur, np.asarray(rec8), -1), 1, +gates.MU16,
+                 cc[np.asarray(rec8)], np.ones(len(rec8), bool))
+        assert parts, "compressor level planned no work"
+
+        big = lwe_concat(parts, axis=-1)
+        Mimg = big.batch_shape[-1]
+        Bl = 1
+        for s in lead:
+            Bl *= s
+        mu_img = np.concatenate(mus)
+        out = gates.bootstrap_images(
+            big.reshape((Bl * Mimg,)), np.tile(mu_img, Bl), cloud
+        ).reshape(lead + (Mimg,))
+        keep = np.asarray(keep, np.int64)
+        if keep.size:
+            cur = lwe_concat([out, lwe_take(cur, keep, -1)], axis=-1)
+            cc = np.concatenate([np.concatenate(ocols), cc[keep]])
+            amp = np.concatenate(
+                [np.full(Mimg, 16), amp[keep]])
+        else:
+            cur, cc, amp = out, np.concatenate(ocols), np.full(Mimg, 16)
+
+    if (amp == 8).all():
+        # nothing entered the ±1/16 domain: assemble rows and use the
+        # standard ±1/8 ripple (identical to the FA path's termination)
+        return _assemble_two_rows_add(cur, cc, nbits, cloud)
+
+    if (amp == 8).any():
+        # stray ±1/8 leftovers in otherwise-converted columns: recode
+        i8 = np.flatnonzero(amp == 8)
+        lead = cur.batch_shape[:-1]
+        Bl = 1
+        for s in lead:
+            Bl *= s
+        rec = gates.bootstrap_images(
+            lwe_take(cur, i8, -1).reshape((Bl * i8.size,)),
+            np.full(Bl * i8.size, gates.MU16, np.int32), cloud
+        ).reshape(lead + (i8.size,))
+        keep = np.flatnonzero(amp == 16)
+        cur = lwe_concat([rec, lwe_take(cur, keep, -1)], axis=-1)
+        cc = np.concatenate([cc[i8], cc[keep]])
+
+    # <=2 bits per column, all ±1/16: one final ripple; the sum images are
+    # emitted at ±1/8 so the result is standard-encoded for free
+    M = len(cc)
+    r0 = np.full(nbits, M, np.int64)
+    r1 = np.full(nbits, M, np.int64)
+    for p in range(M):
+        c = cc[p]
+        if r0[c] == M:
+            r0[c] = p
+        elif r1[c] == M:
+            r1[c] = p
+    lead = cur.batch_shape[:-1]
+    curz = lwe_concat([cur, gates.trivial16_zero(cur.n, lead + (1,))], axis=-1)
+    row0 = lwe_take(curz, r0, axis=-1)
+    row1 = lwe_take(curz, r1, axis=-1)
+    sums = []
+    carry = gates.trivial16_zero(cur.n, lead)
+    for i in range(nbits):
+        si, carry = gates.full_adder16(row0[..., i], row1[..., i], carry,
+                                       cloud, mu_sum=gates.MU,
+                                       mu_carry=gates.MU16)
+        sums.append(si)
+    return lwe_stack(sums, axis=-1)
+
+
+def _assemble_two_rows_add(cur: LweCiphertext, cc: np.ndarray, nbits: int,
+                           cloud) -> LweCiphertext:
+    """Termination shared by both reduction paths when all bits are ±1/8:
+    two trivial-zero-filled rows + one standard ripple add."""
+    M = len(cc)
+    r0 = np.full(nbits, M, np.int64)
+    r1 = np.full(nbits, M, np.int64)
+    for p in range(M):
+        c = cc[p]
+        if r0[c] == M:
+            r0[c] = p
+        elif r1[c] == M:
+            r1[c] = p
+    curz = lwe_concat(
+        [cur, zero_like_bits(cur, cur.batch_shape[:-1] + (1,))], axis=-1)
+    row0 = lwe_take(curz, r0, axis=-1)
+    if (r1 == M).all():
+        return row0
+    return add(row0, lwe_take(curz, r1, axis=-1), cloud)
+
+
+def _wallace_sum_bits_fa(cur: LweCiphertext, cc: np.ndarray, nbits: int,
+                         cloud) -> LweCiphertext:
     """Wallace-tree carry-save reduction of weighted bits, then ONE final
     ripple add — the TPU-native replacement for the reference's pairwise
     log-tree accumulation (main.cu:1547-1569, `_tree_sum_rows` below).
@@ -324,22 +543,7 @@ def _wallace_sum_bits(cur: LweCiphertext, cc: np.ndarray, nbits: int,
         cc = np.concatenate(ncc)
     assert np.bincount(cc, minlength=nbits + 1).max() <= 2, \
         "Dadda schedule under-delivered"
-    # <= 2 bits per column: assemble two rows (trivial-zero filled) + ripple
-    M = len(cc)
-    r0 = np.full(nbits, M, np.int64)
-    r1 = np.full(nbits, M, np.int64)
-    for p in range(M):
-        c = cc[p]
-        if r0[c] == M:
-            r0[c] = p
-        elif r1[c] == M:
-            r1[c] = p
-    curz = lwe_concat(
-        [cur, zero_like_bits(cur, cur.batch_shape[:-1] + (1,))], axis=-1)
-    row0 = lwe_take(curz, r0, axis=-1)
-    if (r1 == M).all():
-        return row0
-    return add(row0, lwe_take(curz, r1, axis=-1), cloud)
+    return _assemble_two_rows_add(cur, cc, nbits, cloud)
 
 
 def _csa_reduce_rows(rows: LweCiphertext, cloud) -> LweCiphertext:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .core.lwe import (LweCiphertext, lwe_concat, lwe_negate,
                        noiseless_trivial)
@@ -25,6 +26,7 @@ from .core import bootstrap as bs
 _1_8 = 1 << 29   # modSwitchToTorus32(1, 8)
 _1_4 = 1 << 30   # modSwitchToTorus32(1, 4)
 MU = _1_8        # output amplitude of every bootstrapped gate
+MU16 = 1 << 28   # ±1/16: the compressor-internal bit amplitude (see septets)
 
 # gate -> (constant, coef_a, coef_b); phase>0 => output 1/8
 # (constants from boot-gates.cu:106,132,158,198,224,283,309,335,361,387,420,436)
@@ -55,7 +57,7 @@ def _affine2(x: LweCiphertext, y: LweCiphertext, const, ca, cb) -> LweCiphertext
 
 
 @jax.jit
-def _gate2_jit(x: LweCiphertext, y: LweCiphertext, const, ca, cb, cloud):
+def _gate2_jit(x: LweCiphertext, y: LweCiphertext, const, ca, cb, mu, cloud):
     """Whole gate (flatten -> affine -> bootstrap -> unflatten) as ONE program
     — a single dispatch through the device tunnel."""
     shape = x.batch_shape
@@ -63,7 +65,7 @@ def _gate2_jit(x: LweCiphertext, y: LweCiphertext, const, ca, cb, cloud):
     for s in shape:
         B *= s
     t = _affine2(x.reshape(B), y.reshape(B), const, ca, cb)
-    out = bs.bootstrap(t, jnp.int32(MU), cloud)
+    out = bs.bootstrap(t, mu, cloud)
     return out.reshape(shape)
 
 
@@ -117,24 +119,30 @@ def _pad_flat(ct: LweCiphertext, Bp: int) -> LweCiphertext:
     return lwe_concat([ct, noiseless_trivial(jnp.int32(0), ct.n, (Bp - B,))], axis=0)
 
 
-def gate2(name: str, x: LweCiphertext, y: LweCiphertext, cloud) -> LweCiphertext:
-    """Generic bootstrapped 2-input gate; batch shapes must match."""
+def gate2(name: str, x: LweCiphertext, y: LweCiphertext, cloud,
+          mu: int = MU) -> LweCiphertext:
+    """Generic bootstrapped 2-input gate; batch shapes must match.
+
+    mu: output message amplitude (MU for standard ±1/8 bits; MU16 for
+    compressor-internal ±1/16 bits — see the septet section below)."""
     const, ca, cb = GATE_TABLE[name]
     B = _flat_batch(x)
     if B > GATE_CHUNK:
         shape = x.batch_shape
         xf, yf = x.reshape(B), y.reshape(B)
         outs = [gate2(name, xf[s:min(s + GATE_CHUNK, B)],
-                      yf[s:min(s + GATE_CHUNK, B)], cloud)
+                      yf[s:min(s + GATE_CHUNK, B)], cloud, mu)
                 for s in range(0, B, GATE_CHUNK)]
         return lwe_concat(outs, axis=0).reshape(shape)
     Bp = _bucket(B)
     if Bp != B:
         shape = x.batch_shape
         out = _gate2_jit(_pad_flat(x.reshape(B), Bp), _pad_flat(y.reshape(B), Bp),
-                         jnp.int32(const), jnp.int32(ca), jnp.int32(cb), cloud)
+                         jnp.int32(const), jnp.int32(ca), jnp.int32(cb),
+                         jnp.int32(mu), cloud)
         return out[:B].reshape(shape)
-    return _gate2_jit(x, y, jnp.int32(const), jnp.int32(ca), jnp.int32(cb), cloud)
+    return _gate2_jit(x, y, jnp.int32(const), jnp.int32(ca), jnp.int32(cb),
+                      jnp.int32(mu), cloud)
 
 
 def gate2_pair(name1: str, name2: str, x1, y1, x2, y2, cloud):
@@ -372,3 +380,103 @@ def _mux_jit(a: LweCiphertext, b: LweCiphertext, c: LweCiphertext, cloud) -> Lwe
     cv_sum = cv[:B] + cv[B:]
     out = bs.key_switch(a_sum, b_sum, cloud.ks_table, cv_sum, cloud.params)
     return out.reshape(shape)
+
+
+# ---- 7:3 column compressors at ±1/16 (TPU-native extension) --------------
+#
+# The 3-input trick above generalizes: at amplitude ±1/16 (MU16) the affine
+# sum of SEVEN bit samples has phase (2k-7)/16 for k ones — eight distinct,
+# non-aliasing levels — and the three binary digits of the popcount k fall
+# out of the SAME sum under the coefficient ladder the reference's own XOR
+# already rides (boot-gates.cu:198):
+#
+#     sign(1*u) = bit2 (k>=4),  sign(2*u) = NOT bit1,  sign(4*u) = NOT bit0
+#
+# (the x2/x4 images alias the torus exactly onto the lower digit classes).
+# So a 7:3 compressor costs THREE bootstraps to remove FOUR bits from a
+# carry-save column — 0.75 bootstraps/bit vs the full adder's 2.0 — and the
+# NOTs are free (per-row output amplitude -MU16 in the shared batch).
+# Margins: every image has effective margin/amplitude 1/16 (vs 1/8 for the
+# standard gates) with a sqrt(7) affine amplification; at the 110-bit
+# parameter set that is z ~ 6 sigma per image (validated empirically by
+# tools/noise_stats.py --septet), beating the 2^-25 failure budget of
+# standard TFHE gates. Used by arith._wallace_sum_bits for all carry-save
+# reductions (multipliers, dot products, vector sums).
+
+def trivial16_zero(n: int, batch_shape=()) -> LweCiphertext:
+    """Trivial '0' at amplitude 1/16 (phase -1/16) — the compressor's
+    padding slot."""
+    return noiseless_trivial(jnp.int32(-MU16), n, batch_shape)
+
+
+@jax.jit
+def _bs_images_jit(t: LweCiphertext, mu, cloud) -> LweCiphertext:
+    """One dispatch: bootstrap a flat image batch with per-row output
+    amplitudes (negative mu folds a NOT into the test vector for free)."""
+    return bs.bootstrap(t, mu, cloud)
+
+
+def bootstrap_images(t: LweCiphertext, mu, cloud) -> LweCiphertext:
+    """Chunked bootstrap of a flat batch of pre-built gate images.
+
+    t: flat [M] affine images; mu: int32 [M] per-image output amplitude.
+    The compressor levels of arith._wallace_sum_bits funnel ALL their
+    heterogeneous images (septet digit extractions, full-adder pairs,
+    recodes) through this single entry point as one batch."""
+    B = t.batch_shape[0]
+    mu = np.asarray(mu, np.int32)
+    outs = []
+    for s in range(0, B, GATE_CHUNK):
+        e = min(s + GATE_CHUNK, B)
+        chunk, muc = t[s:e], mu[s:e]
+        Bp = _bucket(e - s)
+        if Bp != e - s:
+            chunk = _pad_flat(chunk, Bp)
+            muc = np.concatenate([muc, np.full(Bp - (e - s), MU, np.int32)])
+        outs.append(_bs_images_jit(chunk, jnp.asarray(muc), cloud)[:e - s])
+    return lwe_concat(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+@jax.jit
+def _fa16_jit(a: LweCiphertext, b: LweCiphertext, c: LweCiphertext,
+              mu_sum, mu_carry, cloud):
+    """Full adder on ±1/16 bits as ONE program / ONE bootstrap batch:
+    carry = sign(u), sum = NOT sign(4u) (coeff 4 — at 1/16 the parity rides
+    two doublings); the NOT is folded by emitting amplitude -mu_sum."""
+    shape = a.batch_shape
+    B = 1
+    for s in shape:
+        B *= s
+    af, bf, cf = a.reshape(B), b.reshape(B), c.reshape(B)
+    u_c = _affine3(af, bf, cf, jnp.int32(0), jnp.int32(1), jnp.int32(1), jnp.int32(1))
+    u_s = _affine3(af, bf, cf, jnp.int32(0), jnp.int32(4), jnp.int32(4), jnp.int32(4))
+    t = lwe_concat([u_c, u_s], axis=0)
+    mu = jnp.concatenate([jnp.broadcast_to(mu_carry, (B,)),
+                          jnp.broadcast_to(-mu_sum, (B,))]).astype(jnp.int32)
+    Bp = _bucket(2 * B)
+    t = _pad_flat(t, Bp)
+    mu = jnp.concatenate([mu, jnp.full((Bp - 2 * B,), MU, jnp.int32)])
+    out = bs.bootstrap(t, mu, cloud)
+    return out[B:2 * B].reshape(shape), out[:B].reshape(shape)
+
+
+def full_adder16(a: LweCiphertext, b: LweCiphertext, cin: LweCiphertext,
+                 cloud, mu_sum: int = MU16, mu_carry: int = MU16):
+    """(sum, carry) of three ±1/16 bits; output amplitudes selectable so the
+    final ripple of a carry-save reduction re-encodes its result bits to the
+    standard ±1/8 (mu_sum=MU) at zero extra cost."""
+    B = _flat_batch(a)
+    if 2 * B > GATE_CHUNK:
+        half = GATE_CHUNK // 2
+        shape = a.batch_shape
+        af, bf, cf = a.reshape(B), b.reshape(B), cin.reshape(B)
+        sums, carries = [], []
+        for s in range(0, B, half):
+            e = min(s + half, B)
+            si, ci = full_adder16(af[s:e], bf[s:e], cf[s:e], cloud,
+                                  mu_sum, mu_carry)
+            sums.append(si)
+            carries.append(ci)
+        return (lwe_concat(sums, axis=0).reshape(shape),
+                lwe_concat(carries, axis=0).reshape(shape))
+    return _fa16_jit(a, b, cin, jnp.int32(mu_sum), jnp.int32(mu_carry), cloud)

@@ -100,12 +100,16 @@ def cannon_matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     a_sk = roll_rows(a, lambda i: i)
     b_sk = roll_cols(b, lambda j: j)
     ja, ib, cols = arith._mul_triangle(nbits)
+    sep = arith._septet_enabled()
+    mu_pp = gates.MU16 if sep else gates.MU
     pools = []
     for _ in range(D):
         lhs = lwe_take(a_sk, ja, axis=-1)          # [D, D, P]
         rhs = lwe_take(b_sk, ib, axis=-1)
-        pools.append(gates.AND(lhs, rhs, cloud))   # this round's product bits
+        pools.append(gates.gate2("AND", lhs, rhs, cloud, mu=mu_pp))
         a_sk = roll_rows(a_sk, lambda i: 1)
         b_sk = roll_cols(b_sk, lambda j: 1)
     pool = lwe_concat(pools, axis=-1)              # [D, D, D*P]
-    return arith._wallace_sum_bits(pool, np.tile(cols, D), nbits, cloud)
+    return arith._wallace_sum_bits(
+        pool, np.tile(cols, D), nbits, cloud,
+        amp=np.full(D * len(cols), 16 if sep else 8))

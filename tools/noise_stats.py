@@ -90,5 +90,68 @@ def main():
           f"p99 {np.percentile(rel2, 99):.4f}  max {rel2.max():.4f}")
 
 
+def septet_margins(total=4096, batch=256):
+    """Empirical noise margins of the 7:3 compressor (gates.py septet
+    section) at the 110-bit parameter set.
+
+    The septet's three digit images ride one 7-way affine of ±1/16
+    bootstrapped bits with coefficients 1/2/4; every image has effective
+    margin/amplitude 1/16 (4x tighter than a standard gate's 1/8 over
+    sqrt(2) inputs). Reports, per image class: the affine phase-error
+    distribution (in units of its decision margin), the implied sigma, and
+    the end-to-end digit failure count after the actual bootstraps.
+    """
+    from tfhe_tpu import arith, gates
+    from tfhe_tpu.core.lwe import LweCiphertext
+
+    params = tt.PARAMS_110
+    sk = tt.keygen(params, seed=(314, 1592, 657))
+    rng = np.random.RandomState(43)
+    mu16 = float(gates.MU16)
+    margins = {1: mu16, 2: 2 * mu16, 4: 4 * mu16}   # 1/16, 1/8, 1/4
+    worst = {1: 0.0, 2: 0.0, 4: 0.0}
+    sigs = {1: [], 2: [], 4: []}
+    fails = 0
+    done = 0
+    r = 0
+    while done < total:
+        bits = rng.randint(0, 2, size=(batch, 7)).astype(np.int32)
+        ct = tt.encrypt_bits(sk, bits, seed=5000 + r)
+        # realistic compressor inputs: post-bootstrap ±1/16 bits
+        ct16 = gates.gate2("OR", ct, ct, sk.cloud, mu=gates.MU16)
+        u = arith._lwe_slot_sum(ct16)
+        k = bits.sum(axis=1)
+        digits = np.stack([k & 1, (k >> 1) & 1, (k >> 2) & 1], axis=0)
+        for coeff, digit_row, sgn in ((4, 0, -1), (2, 1, -1), (1, 2, +1)):
+            img = arith._lwe_scale(u, coeff)
+            phase = decrypt_phase(sk, img).astype(np.int64)
+            want = np.int64(coeff) * (2 * k.astype(np.int64) - 7) * int(mu16)
+            err = ((phase - want + (1 << 31)) % (1 << 32)) - (1 << 31)
+            rel = np.abs(err) / margins[coeff]
+            worst[coeff] = max(worst[coeff], float(rel.max()))
+            sigs[coeff].append(err / margins[coeff])
+            out = gates.bootstrap_images(
+                img, np.full(batch, sgn * gates.MU16, np.int32), sk.cloud)
+            got = tt.decrypt_bits(sk, out)
+            fails += int(np.sum(got != digits[digit_row]))
+        done += batch
+        r += 1
+        print(f"  {done}/{total} septets, digit failures={fails}, "
+              f"worst |err|/margin: c1={worst[1]:.3f} c2={worst[2]:.3f} "
+              f"c4={worst[4]:.3f}", flush=True)
+    for coeff in (1, 2, 4):
+        e = np.concatenate(sigs[coeff])
+        sig = float(e.std())
+        print(f"coeff {coeff}: sigma = {sig:.4f} margins -> z = {1.0/sig:.2f} "
+              f"(pre-modswitch), max |err|/margin = {worst[coeff]:.3f}")
+    print(f"end-to-end digit failures: {fails} / {3 * done} images "
+          f"(rate {fails / (3 * done):.2e})")
+
+
 if __name__ == "__main__":
-    main()
+    if "--septet" in sys.argv:
+        sys.argv.remove("--septet")
+        septet_margins(int(sys.argv[1]) if len(sys.argv) > 1 else 4096,
+                       int(sys.argv[2]) if len(sys.argv) > 2 else 256)
+    else:
+        main()
