@@ -186,3 +186,46 @@ def test_add_chain_under_real_noise():
     cb = arith.encrypt_int(sk, b, 8, seed=72)
     out = arith.decrypt_int(sk, arith.add(ca, cb, sk.cloud), signed=False)
     np.testing.assert_array_equal(out, a + b)
+
+
+def test_prefix_vs_ripple_paths_agree(toy_keys):
+    """The Kogge-Stone prefix circuits (auto-selected at small batches) and
+    the ripple circuits compute identical results for add/sub/gt/minimum/
+    twos_complement/add_sign on random signed inputs."""
+    import os
+    sk = toy_keys
+    nb = 8
+    a = np.array([37, -61, 0, -128], np.int64)
+    b = np.array([-41, 23, -1, 127], np.int64)
+    ca = arith.encrypt_int(sk, a, nb, seed=81)
+    cb = arith.encrypt_int(sk, b, nb, seed=82)
+
+    def run():
+        return (
+            arith.decrypt_int(sk, arith.add(ca, cb, sk.cloud)),
+            arith.decrypt_int(sk, arith.sub(ca, cb, sk.cloud)),
+            np.asarray(tt.decrypt_bits(sk, arith.gt(ca, cb, sk.cloud))),
+            arith.decrypt_int(sk, arith.twos_complement(ca, sk.cloud)),
+        )
+
+    os.environ["TFHE_TPU_LOOKAHEAD"] = "1"
+    try:
+        fast = run()
+    finally:
+        os.environ["TFHE_TPU_LOOKAHEAD"] = "0"
+    try:
+        ripple = run()
+    finally:
+        del os.environ["TFHE_TPU_LOOKAHEAD"]
+    for f, r in zip(fast, ripple):
+        np.testing.assert_array_equal(f, r)
+    m = (1 << nb) - 1
+
+    def signed(v):
+        v = int(v) & m
+        return v - (1 << nb) if v & (1 << (nb - 1)) else v
+
+    np.testing.assert_array_equal(fast[0], [signed(x + y) for x, y in zip(a, b)])
+    np.testing.assert_array_equal(fast[1], [signed(x - y) for x, y in zip(a, b)])
+    np.testing.assert_array_equal(fast[2], (a > b).astype(int))
+    np.testing.assert_array_equal(fast[3], [signed(-x) for x in a])

@@ -74,13 +74,29 @@ def zero_like_bits(x: LweCiphertext, batch_shape) -> LweCiphertext:
 import jax
 
 
+def _latency_bound(a: LweCiphertext) -> bool:
+    """Serial-depth policy: parallel-prefix circuits spend ~5x the bootstraps
+    of a ripple to cut the dependent-dispatch count ~3x, which only wins when
+    the batch is too small to fill a dispatch anyway (dispatch RTT dominated).
+    TFHE_TPU_LOOKAHEAD=0/1 forces ripple/prefix."""
+    import os
+    v = os.environ.get("TFHE_TPU_LOOKAHEAD", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    nbits = a.batch_shape[-1]
+    return gates._flat_batch(a) // max(nbits, 1) <= 4
+
+
 def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Bitwise ripple-carry adder, the reference's fastest (GPU_1)
     (taskLevelParallelAdd_bitwise, main.cu:821-890), rebuilt on the 2-bootstrap
     full adder (gates.full_adder): per bit, ONE batched bootstrap kernel (sum
     + carry images) and one key switch — vs the reference's 5 gates / 3
     sequential bootstraps per bit. Result has the same nbits (overflow
-    dropped, matching the reference)."""
+    dropped, matching the reference). Latency-bound small batches take the
+    Kogge-Stone prefix adder instead (add_fast)."""
+    if _latency_bound(a):
+        return add_fast(a, b, cloud)
     nbits = a.batch_shape[-1]
     # bit 0: sum = XOR, carry = AND, one compound bootstrap
     c0, s0 = gates.gate2_pair("AND", "XOR", a[..., 0], b[..., 0], a[..., 0], b[..., 0], cloud)
@@ -90,6 +106,69 @@ def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
         si, carry = gates.full_adder(a[..., i], b[..., i], carry, cloud)
         sums.append(si)
     return lwe_stack(sums, axis=-1)
+
+
+def add_fast(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
+    """Kogge-Stone parallel-prefix adder: log2(nbits)+2 batched stages
+    instead of nbits dependent full-adder stages.
+
+    Stage 0 computes (g, p) = (AND, XOR) in one compound bootstrap; each
+    prefix level combines (g,p)[i] with (g,p)[i-d] for all i >= d in ONE
+    fused program (gates.prefix_combine: both MUX halves and the p-AND share
+    a bootstrap batch and a key switch); the final sums are one XOR batch.
+    The reference has no sub-linear adder (its GPU_1 ripple is
+    main.cu:821-890) — this is where the TPU's batch-per-dispatch model
+    beats per-gate launch latency."""
+    g, p = gates.gate2_pair("AND", "XOR", a, b, a, b, cloud)
+    c = _prefix_carry_chain(g, p, cloud)
+    # c_i is the carry OUT of bit i: sum_0 = p_0, sum_i = p_i ^ c_{i-1}
+    s_rest = gates.XOR(p[..., 1:], c[..., :-1], cloud)
+    return lwe_concat([p[..., :1], s_rest], axis=-1)
+
+
+def _prefix_carry_chain(g: LweCiphertext, p: LweCiphertext, cloud) -> LweCiphertext:
+    """Kogge-Stone all-prefix carries: returns c with c_i = carry out of
+    bit i given per-bit (generate, propagate). log2(nbits) fused levels."""
+    nbits = g.batch_shape[-1]
+    d = 1
+    while d < nbits:
+        g_new, p_new = gates.prefix_combine(
+            g[..., d:], g[..., :-d], p[..., d:], p[..., :-d], cloud)
+        g = lwe_concat([g[..., :d], g_new], axis=-1)
+        p = lwe_concat([p[..., :d], p_new], axis=-1)
+        d *= 2
+    return g
+
+
+def _cmp_carry_tree(g: LweCiphertext, p: LweCiphertext, cloud) -> LweCiphertext:
+    """Final carry only (for comparisons): pairwise (g,p) combine tree,
+    log2(nbits) levels of nbits/2^k fused combines."""
+    while g.batch_shape[-1] > 1:
+        R = g.batch_shape[-1]
+        half = R // 2
+        g2, p2 = gates.prefix_combine(
+            g[..., 1:2 * half:2], g[..., 0:2 * half:2],
+            p[..., 1:2 * half:2], p[..., 0:2 * half:2], cloud)
+        if R % 2:
+            g = lwe_concat([g2, g[..., 2 * half:]], axis=-1)
+            p = lwe_concat([p2, p[..., 2 * half:]], axis=-1)
+        else:
+            g, p = g2, p2
+    return g[..., 0]
+
+
+def _or_scan_excl(x: LweCiphertext, cloud) -> LweCiphertext:
+    """Exclusive running OR along the bit axis (Kogge-Stone inclusive scan
+    shifted by one): r_i = x_0 | ... | x_{i-1}. log2(nbits) OR batches."""
+    r = x
+    nbits = x.batch_shape[-1]
+    d = 1
+    while d < nbits:
+        r_new = gates.OR(r[..., d:], r[..., :-d], cloud)
+        r = lwe_concat([r[..., :d], r_new], axis=-1)
+        d *= 2
+    zero = zero_like_bits(x, x.batch_shape[:-1] + (1,))
+    return lwe_concat([zero, r[..., :-1]], axis=-1)
 
 
 @jax.jit
@@ -125,9 +204,12 @@ def add_numberwise(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
 
 
 def twos_complement(a: LweCiphertext, cloud) -> LweCiphertext:
-    """-a (ref twosComplement, Cipher.cpp:300-311): scan with a reach-one signal,
-    one compound (XOR, OR) bootstrap per bit."""
+    """-a (ref twosComplement, Cipher.cpp:300-311): scan with a reach-one
+    signal, one compound (XOR, OR) bootstrap per bit; latency-bound batches
+    use the log-depth prefix-OR scan instead."""
     nbits = a.batch_shape[-1]
+    if _latency_bound(a):
+        return gates.XOR(a, _or_scan_excl(a, cloud), cloud)
     reach = zero_like_bits(a, a.batch_shape[:-1])
     outs = []
     for i in range(nbits):
@@ -140,8 +222,18 @@ def sub(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """a - b (ref Cipher.cpp:342-345 computes a + twos_complement(b); here
     the identity a - b = a + not(b) + 1 folds the complement into the ripple
     chain's carry-in — the NOT is a free negation, halving the bootstrap
-    count vs the reference's circuit while computing the same function."""
+    count vs the reference's circuit while computing the same function.
+    Latency-bound batches take the prefix form: (g, p) = (a&~b, a xnor b)
+    with the carry-in folded into g_0 (a|~b), so a-b costs the same depth
+    as a+b."""
     nbits = a.batch_shape[-1]
+    if _latency_bound(a):
+        g, p = gates.gate2_pair("ANDYN", "XNOR", a, b, a, b, cloud)
+        g0 = gates.ORYN(a[..., :1], b[..., :1], cloud)     # carry-in = 1
+        c = _prefix_carry_chain(lwe_concat([g0, g[..., 1:]], axis=-1), p, cloud)
+        s0 = gates.NOT(p[..., :1])                         # p_0 ^ 1, free
+        s_rest = gates.XOR(p[..., 1:], c[..., :-1], cloud)
+        return lwe_concat([s0, s_rest], axis=-1)
     nb = gates.NOT(b)
     carry = gates.CONSTANT(jnp.ones(a.batch_shape[:-1], jnp.int32), a.n,
                            a.batch_shape[:-1])
@@ -673,9 +765,13 @@ def compare_bit(result, ai, bi, cloud):
 def minimum(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Minimum of two (positive) numbers (ref minimum, Cipher.cpp:313-333)."""
     nbits = a.batch_shape[-1]
-    cmp = zero_like_bits(a, a.batch_shape[:-1])
-    for i in range(nbits):
-        cmp = compare_bit(cmp, a[..., i], b[..., i], cloud)
+    if _latency_bound(a):
+        g, p = gates.gate2_pair("ANDYN", "XNOR", a, b, a, b, cloud)
+        cmp = _cmp_carry_tree(g, p, cloud)                 # unsigned a > b
+    else:
+        cmp = zero_like_bits(a, a.batch_shape[:-1])
+        for i in range(nbits):
+            cmp = compare_bit(cmp, a[..., i], b[..., i], cloud)
     # cmp == 1 iff b larger? (ref: 0 if a larger, 1 if b larger) -> out = MUX(cmp, b, a)
     cmps = lwe_stack([cmp] * nbits, axis=-1)
     return gates.MUX(cmps, b, a, cloud)
@@ -685,11 +781,17 @@ def gt(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Signed a > b -> 1-bit ciphertext (ref Cipher::operator>,
     Cipher.cpp:597-608, whose stage a ^ ((a^cin) & (b^cin)) needs 4 gates).
     Here each stage is cin' = MUX(a^b, a, cin) == MAJ(a, not b, cin) — ONE
-    bootstrap — and the signed fixup (a_msb ^ b_msb) ^ cin is one XOR3."""
+    bootstrap — and the signed fixup (a_msb ^ b_msb) ^ cin is one XOR3.
+    Latency-bound batches reduce the carry with the pairwise (g,p) combine
+    tree (log2(nbits) fused levels) instead of the linear MAJ chain."""
     nbits = a.batch_shape[-1]
-    cin = zero_like_bits(a, a.batch_shape[:-1])
-    for i in range(nbits):
-        cin = gates.MAJ(a[..., i], gates.NOT(b[..., i]), cin, cloud)
+    if _latency_bound(a):
+        g, p = gates.gate2_pair("ANDYN", "XNOR", a, b, a, b, cloud)
+        cin = _cmp_carry_tree(g, p, cloud)
+    else:
+        cin = zero_like_bits(a, a.batch_shape[:-1])
+        for i in range(nbits):
+            cin = gates.MAJ(a[..., i], gates.NOT(b[..., i]), cin, cloud)
     return gates.XOR3(a[..., nbits - 1], b[..., nbits - 1], cin, cloud)
 
 
@@ -725,14 +827,17 @@ def absolute(a: LweCiphertext, cloud) -> LweCiphertext:
 def add_sign(x: LweCiphertext, sign, cloud) -> LweCiphertext:
     """Conditionally negate x when sign==1 (ref addSign, Cipher.cpp:560-577)."""
     nbits = x.batch_shape[-1]
-    reach = zero_like_bits(x, x.batch_shape[:-1])
-    result = []
-    for i in range(nbits - 1):
-        r_i = gates.XOR(x[..., i], reach, cloud)
-        reach = gates.OR(reach, x[..., i], cloud)
-        result.append(r_i)
-    result.append(gates.XOR(x[..., nbits - 1], reach, cloud))
-    res = lwe_stack(result, axis=-1)
+    if _latency_bound(x):
+        res = gates.XOR(x, _or_scan_excl(x, cloud), cloud)
+    else:
+        reach = zero_like_bits(x, x.batch_shape[:-1])
+        result = []
+        for i in range(nbits - 1):
+            r_i = gates.XOR(x[..., i], reach, cloud)
+            reach = gates.OR(reach, x[..., i], cloud)
+            result.append(r_i)
+        result.append(gates.XOR(x[..., nbits - 1], reach, cloud))
+        res = lwe_stack(result, axis=-1)
     signs = lwe_stack([sign] * nbits, axis=-1)
     return gates.MUX(signs, res, x, cloud)
 

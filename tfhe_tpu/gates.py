@@ -480,3 +480,44 @@ def full_adder16(a: LweCiphertext, b: LweCiphertext, cin: LweCiphertext,
         return (lwe_concat(sums, axis=0).reshape(shape),
                 lwe_concat(carries, axis=0).reshape(shape))
     return _fa16_jit(a, b, cin, jnp.int32(mu_sum), jnp.int32(mu_carry), cloud)
+
+
+# ---- fused parallel-prefix combine level ---------------------------------
+
+@jax.jit
+def _prefix_level_jit(gi, gs, pi, ps, cloud):
+    """One parallel-prefix (g, p) combine level as ONE program:
+    g' = g_hi OR (p_hi AND g_lo) = MUX(p_hi, g_lo, g_hi), p' = p_hi AND p_lo.
+    All three bootstrap images (two MUX halves + the p AND) ride one batch;
+    the MUX halves are post-summed and everything key-switches together."""
+    shape = gi.batch_shape
+    B = 1
+    for s in shape:
+        B *= s
+    gif, gsf, pif, psf = (v.reshape(B) for v in (gi, gs, pi, ps))
+    t1 = _affine2(pif, gsf, jnp.int32(-_1_8), jnp.int32(1), jnp.int32(1))   # AND(p_hi, g_lo)
+    t2 = _affine2(pif, gif, jnp.int32(-_1_8), jnp.int32(-1), jnp.int32(1))  # AND(not p_hi, g_hi)
+    t3 = _affine2(pif, psf, jnp.int32(-_1_8), jnp.int32(1), jnp.int32(1))   # AND(p_hi, p_lo)
+    t = _pad_flat(lwe_concat([t1, t2, t3], axis=0), _bucket(3 * B))
+    a_ext, b_ext, cv = bs.bootstrap_woks(t, jnp.int32(MU), cloud)
+    a_sum = a_ext[:B] + a_ext[B:2 * B]
+    b_sum = jnp.int32(_1_8) + b_ext[:B] + b_ext[B:2 * B]
+    cv_sum = cv[:B] + cv[B:2 * B]
+    a_all = jnp.concatenate([a_sum, a_ext[2 * B:3 * B]], axis=0)
+    b_all = jnp.concatenate([b_sum, b_ext[2 * B:3 * B]], axis=0)
+    cv_all = jnp.concatenate([cv_sum, cv[2 * B:3 * B]], axis=0)
+    out = bs.key_switch(a_all, b_all, cloud.ks_table, cv_all, cloud.params)
+    return out[:B].reshape(shape), out[B:].reshape(shape)
+
+
+def prefix_combine(g_hi, g_lo, p_hi, p_lo, cloud):
+    """(g, p) o (g', p') — the carry-operator combine of parallel-prefix
+    adders/comparators, one dispatch for batches within a chunk."""
+    B = _flat_batch(g_hi)
+    if 3 * B > GATE_CHUNK:
+        # large batches are throughput-bound; callers should use ripple
+        # circuits there, but stay correct via separate gates
+        g = MUX(p_hi, g_lo, g_hi, cloud)
+        p = AND(p_hi, p_lo, cloud)
+        return g, p
+    return _prefix_level_jit(g_hi, g_lo, p_hi, p_lo, cloud)
