@@ -561,6 +561,18 @@ def _wallace_sum_bits_septet(cur: LweCiphertext, cc: np.ndarray, nbits: int,
     curz = lwe_concat([cur, gates.trivial16_zero(cur.n, lead + (1,))], axis=-1)
     row0 = lwe_take(curz, r0, axis=-1)
     row1 = lwe_take(curz, r1, axis=-1)
+    Bl = 1
+    for s in lead:
+        Bl *= s
+    if Bl <= 4:
+        # latency-bound: recode both rows to ±1/8 in ONE bootstrap batch and
+        # use the log-depth prefix adder (depth 1+log2(nbits)+2 vs nbits)
+        both = lwe_concat([row0, row1], axis=-1)
+        rec = gates.bootstrap_images(
+            both.reshape((Bl * 2 * nbits,)),
+            np.full(Bl * 2 * nbits, gates.MU, np.int32), cloud
+        ).reshape(lead + (2 * nbits,))
+        return add_fast(rec[..., :nbits], rec[..., nbits:], cloud)
     sums = []
     carry = gates.trivial16_zero(cur.n, lead)
     for i in range(nbits):
