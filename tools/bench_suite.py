@@ -277,7 +277,7 @@ def bench_add(sk, report):
 def bench_mul(sk, report):
     """Table VII: n-bit multiplication, naive shift-add and Karatsuba."""
     rows = {}
-    for nb in (16, 32):
+    for nb in (16, 24, 32):
         rng = np.random.RandomState(nb)
         a, b = [int(x) for x in rng.randint(0, 1 << (nb // 2 - 1), size=2)]
         ca = arith.encrypt_int(sk, a, nb, seed=500 + nb)
@@ -290,6 +290,15 @@ def bench_mul(sk, report):
         rows[nb] = {"naive_s": round(dtn, 3), "karatsuba_s": round(dtk, 3),
                     "ref_naive_s": rn, "ref_karatsuba_s": rk,
                     "speedup_naive": round(rn / dtn, 2) if rn else None}
+        if nb == 16:
+            # A/B: the 7:3 septet compressor vs the pure full-adder tree
+            os.environ["TFHE_TPU_SEPTET"] = "0"
+            try:
+                dtf, outf = _timed(lambda x, y: arith.mul(x, y, sk.cloud), ca, cb)
+            finally:
+                del os.environ["TFHE_TPU_SEPTET"]
+            assert int(arith.decrypt_int(sk, outf)) == _signed(a * b, nb)
+            rows[nb]["naive_fa_s"] = round(dtf, 3)
         print(f"  mul {nb}-bit: naive {dtn:7.3f}s (ref {rn}s)  karatsuba {dtk:7.3f}s (ref {rk}s)", flush=True)
     report["mul"] = rows
 
