@@ -229,3 +229,19 @@ def test_prefix_vs_ripple_paths_agree(toy_keys):
     np.testing.assert_array_equal(fast[1], [signed(x - y) for x, y in zip(a, b)])
     np.testing.assert_array_equal(fast[2], (a > b).astype(int))
     np.testing.assert_array_equal(fast[3], [signed(-x) for x in a])
+
+
+def test_septet_mul_under_real_noise():
+    """The 7:3 compressor's ±1/16 margins (4x tighter than standard gates)
+    must survive real gaussian noise: a 16-bit multiply routes ~130 partial
+    products through septet/FA16 levels at PARAMS_SMALL_NOISY."""
+    import tfhe_tpu as tt
+    from tests.conftest import _cached_keys
+    sk = _cached_keys(tt.PARAMS_SMALL_NOISY, (314, 1592, 657))
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 1 << 7, size=2)
+    b = rng.randint(0, 1 << 7, size=2)
+    ca = arith.encrypt_int(sk, a, 16, seed=73)
+    cb = arith.encrypt_int(sk, b, 16, seed=74)
+    out = arith.decrypt_int(sk, arith.mul(ca, cb, sk.cloud), signed=False)
+    np.testing.assert_array_equal(out, a * b)
