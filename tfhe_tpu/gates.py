@@ -512,7 +512,12 @@ def _prefix_level_jit(gi, gs, pi, ps, cloud):
 
 def prefix_combine(g_hi, g_lo, p_hi, p_lo, cloud):
     """(g, p) o (g', p') — the carry-operator combine of parallel-prefix
-    adders/comparators, one dispatch for batches within a chunk."""
+    adders/comparators, one dispatch for batches within a chunk.
+
+    Inputs are padded to a power-of-two flat batch BEFORE the jit so the
+    per-level slice widths (nbits-d for d = 1, 2, 4, ...) collapse onto a
+    logarithmic number of compiled programs (the axon backend recompiles
+    every distinct shape, ~30-70 s each)."""
     B = _flat_batch(g_hi)
     if 3 * B > GATE_CHUNK:
         # large batches are throughput-bound; callers should use ripple
@@ -520,4 +525,12 @@ def prefix_combine(g_hi, g_lo, p_hi, p_lo, cloud):
         g = MUX(p_hi, g_lo, g_hi, cloud)
         p = AND(p_hi, p_lo, cloud)
         return g, p
+    Bp = _bucket(B)
+    if Bp != B:
+        shape = g_hi.batch_shape
+        go, po = _prefix_level_jit(
+            _pad_flat(g_hi.reshape(B), Bp), _pad_flat(g_lo.reshape(B), Bp),
+            _pad_flat(p_hi.reshape(B), Bp), _pad_flat(p_lo.reshape(B), Bp),
+            cloud)
+        return go[:B].reshape(shape), po[:B].reshape(shape)
     return _prefix_level_jit(g_hi, g_lo, p_hi, p_lo, cloud)
