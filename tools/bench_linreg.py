@@ -104,12 +104,16 @@ def main(argv=None):
     ap.add_argument("--bits", type=int, default=16)
     ap.add_argument("--variant", nargs="*", default=["binary"])
     ap.add_argument("--out", default="BENCH_TABLES.json")
+    ap.add_argument("--params", default="110", choices=["110", "toy"],
+                    help="'toy' = noiseless small ring for a CPU smoke run "
+                         "of the full bench path (no ref comparison)")
     args = ap.parse_args(argv)
     R, A, nb = args.rows, args.attrs, args.bits
 
     print(f"device: {jax.devices()[0]}", flush=True)
     t0 = time.time()
-    sk = tt.keygen(tt.PARAMS_110, seed=(314, 1592, 657))
+    params = tt.PARAMS_110 if args.params == "110" else tt.PARAMS_TOY
+    sk = tt.keygen(params, seed=(314, 1592, 657))
     print(f"keygen: {time.time()-t0:.1f}s", flush=True)
 
     rng = np.random.RandomState(7)
