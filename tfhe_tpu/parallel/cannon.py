@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .. import arith
 from ..core.lwe import LweCiphertext
@@ -66,5 +66,5 @@ def cannon_matmul_mesh(a: LweCiphertext, b: LweCiphertext, cloud, mesh: Mesh):
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(ct_spec, ct_spec, cloud_spec),
-                   out_specs=ct_spec, check_rep=False)
+                   out_specs=ct_spec, check_vma=False)
     return jax.jit(fn)(a, b, cloud)

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.lwe import LweCiphertext
 from ..core import bootstrap as bs
@@ -60,7 +60,7 @@ def sharded_gate2(name: str, x: LweCiphertext, y: LweCiphertext, cloud,
         local, mesh=mesh,
         in_specs=(_batch_ct_spec(axis), _batch_ct_spec(axis), _replicated_cloud_spec(cloud)),
         out_specs=_batch_ct_spec(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(x, y, cloud)
 
@@ -74,7 +74,7 @@ def sharded_bootstrap_step(x: LweCiphertext, cloud, mesh: Mesh, axis: str = "dp"
         local, mesh=mesh,
         in_specs=(_batch_ct_spec(axis), _replicated_cloud_spec(cloud)),
         out_specs=_batch_ct_spec(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(x, cloud)
 
@@ -143,5 +143,5 @@ def sharded_gate2_tp_ks(name: str, x: LweCiphertext, y: LweCiphertext, cloud,
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(ct_spec, ct_spec, cloud_spec),
-                   out_specs=ct_spec, check_rep=False)
+                   out_specs=ct_spec, check_vma=False)
     return jax.jit(fn)(x, y, cloud)
