@@ -3,8 +3,8 @@
 # compiles are host-side and contend on this single-core box).
 set -x
 cd /root/repo
-echo "=== mul + vector tables (Dadda) ==="
-timeout 2400 python -u tools/bench_suite.py --exp mul vector
+echo "=== add + mul + vector tables (prefix adders / Dadda) ==="
+timeout 3600 python -u tools/bench_suite.py --exp add mul vector
 echo "=== cipher api ==="
 timeout 1200 python -u tools/bench_cipher.py
 echo "=== linreg binary + numerical (Table X) ==="
