@@ -99,17 +99,10 @@ def main():
         print(f"# pallas-vs-XLA on-device differential: identical ciphertexts "
               f"(packed B=32, lane B={nlane})", file=sys.stderr)
 
-    # measured per-dispatch tunnel RTT: tiny jitted op, device->host fetch each
-    # iteration — the floor any single dispatch pays in this environment
-    tiny = jax.jit(lambda v: v + 1)
-    x1 = jnp.zeros((8,), jnp.int32)
-    np.asarray(tiny(x1))
-    t0 = time.time()
-    rtt_iters = 20
-    for _ in range(rtt_iters):
-        x1 = tiny(x1)
-        np.asarray(x1)
-    rtt_s = (time.time() - t0) / rtt_iters
+    # measured per-dispatch tunnel RTT (shared helper, same methodology as
+    # tools/bench_suite.py so the two recorded rtt_s values are comparable)
+    from tfhe_tpu.utils.profiling import measure_rtt
+    rtt_s = measure_rtt()
     print(f"# per-dispatch RTT (tiny jit + fetch): {rtt_s*1000:.1f} ms", file=sys.stderr)
 
     # warm the chained signature (jit + output layouts) before timing

@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--params", choices=["110", "toy"], default="110")
     args = ap.parse_args(argv)
 
+    if args.params == "toy":
+        from tfhe_tpu.apps import force_cpu_backend
+        force_cpu_backend()
     params = tt.PARAMS_110 if args.params == "110" else tt.PARAMS_TOY
     # reference seed semantics (main.cu:2724-2726, cpuParallel/main.cpp:21-22)
     sk = tt.keygen(params, seed=(314, 1592, 657))

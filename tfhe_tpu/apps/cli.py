@@ -36,6 +36,9 @@ def main(argv=None):
                     default=["gates", "add", "mul", "vector", "matrix"])
     args = ap.parse_args(argv)
 
+    if args.params != "110":
+        from tfhe_tpu.apps import force_cpu_backend
+        force_cpu_backend()
     params = {"110": tt.PARAMS_110, "toy": tt.PARAMS_TOY, "small": tt.PARAMS_SMALL}[args.params]
     nb, L = args.bitSize, args.vLength
     mask = (1 << nb) - 1

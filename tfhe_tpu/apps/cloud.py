@@ -24,9 +24,17 @@ def main(argv=None):
                              "div", "min", "gt", "eq"])
     ap.add_argument("--bits", type=int, default=16)
     ap.add_argument("--dir", default=".")
+    ap.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                    help="auto = CPU for toy-ring keys (N<1024), device otherwise")
     args = ap.parse_args(argv)
 
-    with open(os.path.join(args.dir, "cloud.key"), "rb") as f:
+    key_path = os.path.join(args.dir, "cloud.key")
+    with open(key_path, "rb") as f:
+        peek = tio.read_gate_bootstrapping_params(f)
+    if args.platform == "cpu" or peek.N < 1024:
+        from tfhe_tpu.apps import force_cpu_backend
+        force_cpu_backend()
+    with open(key_path, "rb") as f:
         params, cloud = tio.import_cloud_keyset(f)
     with open(os.path.join(args.dir, "cloud.data"), "rb") as f:
         ca = tio.import_ciphertexts(f, args.bits, params.n)

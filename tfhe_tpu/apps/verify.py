@@ -20,9 +20,17 @@ def main(argv=None):
     ap.add_argument("--bits", type=int, default=16)
     ap.add_argument("--dir", default=".")
     ap.add_argument("--unsigned", action="store_true")
+    ap.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                    help="auto = CPU for toy-ring keys (N<1024), device otherwise")
     args = ap.parse_args(argv)
 
-    with open(os.path.join(args.dir, "secret.key"), "rb") as f:
+    key_path = os.path.join(args.dir, "secret.key")
+    with open(key_path, "rb") as f:
+        peek = tio.read_gate_bootstrapping_params(f)
+    if args.platform == "cpu" or peek.N < 1024:
+        from tfhe_tpu.apps import force_cpu_backend
+        force_cpu_backend()
+    with open(key_path, "rb") as f:
         sk = tio.import_secret_keyset(f)
     with open(os.path.join(args.dir, "answer.data"), "rb") as f:
         ct = tio.import_ciphertexts(f, args.bits, sk.params.n)

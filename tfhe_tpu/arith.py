@@ -74,17 +74,22 @@ def zero_like_bits(x: LweCiphertext, batch_shape) -> LweCiphertext:
 import jax
 
 
-def _latency_bound(a: LweCiphertext) -> bool:
+def _latency_policy(numbers: int) -> bool:
     """Serial-depth policy: parallel-prefix circuits spend ~5x the bootstraps
     of a ripple to cut the dependent-dispatch count ~3x, which only wins when
     the batch is too small to fill a dispatch anyway (dispatch RTT dominated).
+    `numbers` = how many independent integers share the batch.
     TFHE_TPU_LOOKAHEAD=0/1 forces ripple/prefix."""
     import os
     v = os.environ.get("TFHE_TPU_LOOKAHEAD", "auto")
     if v in ("0", "1"):
         return v == "1"
+    return numbers <= 4
+
+
+def _latency_bound(a: LweCiphertext) -> bool:
     nbits = a.batch_shape[-1]
-    return gates._flat_batch(a) // max(nbits, 1) <= 4
+    return _latency_policy(gates._flat_batch(a) // max(nbits, 1))
 
 
 def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
@@ -548,15 +553,7 @@ def _wallace_sum_bits_septet(cur: LweCiphertext, cc: np.ndarray, nbits: int,
 
     # <=2 bits per column, all ±1/16: one final ripple; the sum images are
     # emitted at ±1/8 so the result is standard-encoded for free
-    M = len(cc)
-    r0 = np.full(nbits, M, np.int64)
-    r1 = np.full(nbits, M, np.int64)
-    for p in range(M):
-        c = cc[p]
-        if r0[c] == M:
-            r0[c] = p
-        elif r1[c] == M:
-            r1[c] = p
+    r0, r1 = _two_row_plan(cc, nbits)
     lead = cur.batch_shape[:-1]
     curz = lwe_concat([cur, gates.trivial16_zero(cur.n, lead + (1,))], axis=-1)
     row0 = lwe_take(curz, r0, axis=-1)
@@ -564,7 +561,7 @@ def _wallace_sum_bits_septet(cur: LweCiphertext, cc: np.ndarray, nbits: int,
     Bl = 1
     for s in lead:
         Bl *= s
-    if Bl <= 4:
+    if _latency_policy(Bl):
         # latency-bound: recode both rows to ±1/8 in ONE bootstrap batch and
         # use the log-depth prefix adder (depth 1+log2(nbits)+2 vs nbits)
         both = lwe_concat([row0, row1], axis=-1)
@@ -583,10 +580,10 @@ def _wallace_sum_bits_septet(cur: LweCiphertext, cc: np.ndarray, nbits: int,
     return lwe_stack(sums, axis=-1)
 
 
-def _assemble_two_rows_add(cur: LweCiphertext, cc: np.ndarray, nbits: int,
-                           cloud) -> LweCiphertext:
-    """Termination shared by both reduction paths when all bits are ±1/8:
-    two trivial-zero-filled rows + one standard ripple add."""
+def _two_row_plan(cc: np.ndarray, nbits: int):
+    """Scatter M weighted bits (<=2 per column) into two per-column row index
+    vectors; index M is the pad slot (callers append their pad ciphertext at
+    position M before gathering)."""
     M = len(cc)
     r0 = np.full(nbits, M, np.int64)
     r1 = np.full(nbits, M, np.int64)
@@ -596,6 +593,15 @@ def _assemble_two_rows_add(cur: LweCiphertext, cc: np.ndarray, nbits: int,
             r0[c] = p
         elif r1[c] == M:
             r1[c] = p
+    return r0, r1
+
+
+def _assemble_two_rows_add(cur: LweCiphertext, cc: np.ndarray, nbits: int,
+                           cloud) -> LweCiphertext:
+    """Termination shared by both reduction paths when all bits are ±1/8:
+    two trivial-zero-filled rows + one standard ripple add."""
+    M = len(cc)
+    r0, r1 = _two_row_plan(cc, nbits)
     curz = lwe_concat(
         [cur, zero_like_bits(cur, cur.batch_shape[:-1] + (1,))], axis=-1)
     row0 = lwe_take(curz, r0, axis=-1)

@@ -33,7 +33,8 @@ P2 = 754974721   # 45  * 2^24 + 1, generator 11
 GENERATORS = {P1: 3, P2: 11}
 PRIMES = (P1, P2)
 
-_U16 = jnp.uint32(0xFFFF)
+# np (not jnp) so importing the library never touches a device backend
+_U16 = np.uint32(0xFFFF)
 
 
 # --------------------------------------------------------------------------

@@ -35,8 +35,11 @@ N_LWE, N_POLY, K, KPL, KS_T, KS_BASE = 500, 1024, 1, 4, 8, 4
 
 
 def available() -> bool:
-    """True if the reference checkout + toolchain exist to build the oracle."""
-    return os.path.isdir("/root/reference/gpuParallel") or os.path.exists(_SO)
+    """True if the reference checkout + toolchain exist to build the oracle.
+    Honors the same REF_DIR override native/Makefile uses, so a relocated
+    reference checkout still runs the oracle attestation tests."""
+    ref_dir = os.environ.get("REF_DIR", "/root/reference/gpuParallel")
+    return os.path.isdir(ref_dir) or os.path.exists(_SO)
 
 
 def build(force: bool = False) -> str:

@@ -61,3 +61,21 @@ def timed(fn, *args, iters: int = 5, warmup: int = 1):
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters, out
+
+
+def measure_rtt(iters: int = 20) -> float:
+    """Measured per-dispatch tunnel round trip: a tiny jitted op with a
+    device->host fetch each iteration — the floor ANY single dispatch pays in
+    this environment, recorded so `single_shot ~= steady + RTT` is shown
+    rather than asserted (paper Table IV methodology note)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    tiny = jax.jit(lambda v: v + 1)
+    x = jnp.zeros((8,), jnp.int32)
+    np.asarray(tiny(x))  # warm the compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = tiny(x)
+        np.asarray(x)
+    return (time.perf_counter() - t0) / iters

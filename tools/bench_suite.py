@@ -122,17 +122,7 @@ def bench_gates(sk, report):
     report["gate_batch"] = rows
 
 
-def _measure_rtt(iters=20):
-    """Per-dispatch tunnel RTT: tiny jitted op + device->host fetch."""
-    import jax.numpy as jnp
-    tiny = jax.jit(lambda v: v + 1)
-    x = jnp.zeros((8,), jnp.int32)
-    np.asarray(tiny(x))
-    t0 = time.time()
-    for _ in range(iters):
-        x = tiny(x)
-        np.asarray(x)
-    return (time.time() - t0) / iters
+from tfhe_tpu.utils.profiling import measure_rtt as _measure_rtt
 
 
 def bench_phases(sk, report):
@@ -292,11 +282,15 @@ def bench_mul(sk, report):
                     "speedup_naive": round(rn / dtn, 2) if rn else None}
         if nb == 16:
             # A/B: the 7:3 septet compressor vs the pure full-adder tree
+            prev_septet = os.environ.get("TFHE_TPU_SEPTET")
             os.environ["TFHE_TPU_SEPTET"] = "0"
             try:
                 dtf, outf = _timed(lambda x, y: arith.mul(x, y, sk.cloud), ca, cb)
             finally:
-                del os.environ["TFHE_TPU_SEPTET"]
+                if prev_septet is None:
+                    del os.environ["TFHE_TPU_SEPTET"]
+                else:
+                    os.environ["TFHE_TPU_SEPTET"] = prev_septet
             assert int(arith.decrypt_int(sk, outf)) == _signed(a * b, nb)
             rows[nb]["naive_fa_s"] = round(dtf, 3)
         print(f"  mul {nb}-bit: naive {dtn:7.3f}s (ref {rn}s)  karatsuba {dtk:7.3f}s (ref {rk}s)", flush=True)
