@@ -25,7 +25,30 @@ from tfhe_tpu import gates
 BASELINE_BOOTSTRAPS_PER_SEC = 454.0  # reference GPU, 32-bit gate batch (Table IV)
 
 
+def _probe_device(timeout_s: int = 300) -> bool:
+    """Bounded hardware probe in a subprocess: backend init through a dead
+    axon tunnel blocks forever inside a C call, so a clean failure line is
+    only possible if the first device touch happens in a killable child."""
+    import subprocess
+    code = ("import jax, numpy as np, jax.numpy as jnp; "
+            "assert (np.asarray(jnp.arange(4)+1)==[1,2,3,4]).all()")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        print("# device probe failed: accelerator unreachable", file=sys.stderr)
+        print(json.dumps({
+            "metric": "gate_bootstraps_per_sec", "value": None,
+            "unit": "bootstraps/s", "vs_baseline": None,
+            "error": "device unreachable (tunnel down?) — probe timed out"}))
+        return 1
+
     n_dev = len(jax.devices())
     batch = int(os.environ.get("BENCH_BATCH", str(256 * n_dev)))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
@@ -130,4 +153,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
