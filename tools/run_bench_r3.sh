@@ -11,4 +11,6 @@ echo "=== linreg binary + numerical (Table X) ==="
 timeout 5400 python -u tools/bench_linreg.py --variant binary numerical
 echo "=== matmul 2,4,8,16 + cannon<=8 ==="
 BENCH_MATMUL_SIZES=2,4,8,16 timeout 7200 python -u tools/bench_suite.py --exp matmul
+echo "=== headline bench.py (throughput + kernel differentials) ==="
+timeout 1800 python -u bench.py | tee /tmp/bench_headline_r3.json
 echo "=== DONE ==="
