@@ -368,13 +368,15 @@ def bench_matmul(sk, report):
         want = [[_signed(int(v), nb) for v in row] for row in (ma @ mb)]
         # D >= 8 runs take minutes: single timed run (gate programs are
         # power-of-two bucketed, so smaller sizes warm the same programs).
-        # Cannon twin measured through 8x8 (Table IX is the Cannon column);
-        # at 16x16 the circuits are identical per-round, so tree stands in.
+        # Cannon twin measured through BENCH_CANNON_MAX (default 8; Table IX
+        # is the Cannon column). Set BENCH_CANNON_MAX=16 to measure the full
+        # 16x16 Cannon when hardware time allows; below the cap the per-round
+        # circuits are identical, so tree stands in.
         big = D >= 8
         dtf, outf = _timed(lambda x, y: linalg.matmul(x, y, sk.cloud), cma, cmb,
                            warmup=not big)
         assert arith.decrypt_int(sk, outf).tolist() == want
-        if D <= 8:
+        if D <= int(os.environ.get("BENCH_CANNON_MAX", "8")):
             dtc, outc = _timed(lambda x, y: linalg.cannon_matmul(x, y, sk.cloud),
                                cma, cmb, warmup=not big)
             assert arith.decrypt_int(sk, outc).tolist() == want

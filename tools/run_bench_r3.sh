@@ -13,4 +13,7 @@ echo "=== matmul 2,4,8,16 + cannon<=8 ==="
 BENCH_MATMUL_SIZES=2,4,8,16 timeout 7200 python -u tools/bench_suite.py --exp matmul
 echo "=== headline bench.py (throughput + kernel differentials) ==="
 timeout 1800 python -u bench.py | tee /tmp/bench_headline_r3.json
+echo "=== optional: full 16x16 Cannon (Table IX last cell) ==="
+BENCH_MATMUL_SIZES=16 BENCH_CANNON_MAX=16 timeout 7200 \
+  python -u tools/bench_suite.py --exp matmul
 echo "=== DONE ==="
