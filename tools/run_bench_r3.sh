@@ -16,4 +16,6 @@ timeout 1800 python -u bench.py | tee /tmp/bench_headline_r3.json
 echo "=== optional: full 16x16 Cannon (Table IX last cell) ==="
 BENCH_MATMUL_SIZES=16 BENCH_CANNON_MAX=16 timeout 7200 \
   python -u tools/bench_suite.py --exp matmul
+echo "=== published-cell coverage audit ==="
+python tools/check_baseline_coverage.py
 echo "=== DONE ==="
