@@ -40,7 +40,34 @@ def _probe_device(timeout_s: int = 300) -> bool:
         return False
 
 
+def _acquire_device_lock(timeout_s: int) -> bool:
+    """Cooperative single-tenancy with the bench queue (tools/run_bench_r3.sh
+    wraps each stage in `flock` on the same file): one v5e chip behind one
+    tunnel — two concurrent clients corrupt each other's timings or fail to
+    initialize. Returns True once held (kept for process lifetime)."""
+    import fcntl
+    f = open("/tmp/tfhe_device.lock", "w")
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            globals()["_lock_file"] = f  # keep the fd (and the lock) alive
+            return True
+        except OSError:
+            if time.time() >= deadline:
+                return False
+            print("# device busy (bench queue stage running) — waiting...",
+                  file=sys.stderr)
+            time.sleep(30)
+
+
 def main():
+    if not _acquire_device_lock(int(os.environ.get("BENCH_LOCK_TIMEOUT", "5400"))):
+        print(json.dumps({
+            "metric": "gate_bootstraps_per_sec", "value": None,
+            "unit": "bootstraps/s", "vs_baseline": None,
+            "error": "device lock held by another bench stage past timeout"}))
+        return 1
     if not _probe_device():
         print("# device probe failed: accelerator unreachable", file=sys.stderr)
         print(json.dumps({

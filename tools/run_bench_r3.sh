@@ -9,18 +9,18 @@
 set -x
 cd /root/repo
 echo "=== matmul 2,4,8,16 + cannon<=8 (missing cells + 16x16 >=8x target) ==="
-BENCH_MATMUL_SIZES=2,4,8,16 timeout 7200 python -u tools/bench_suite.py --exp matmul
+BENCH_MATMUL_SIZES=2,4,8,16 timeout 7200 flock /tmp/tfhe_device.lock python -u tools/bench_suite.py --exp matmul
 echo "=== linreg binary + numerical (Table X — no recorded rows yet) ==="
-timeout 5400 python -u tools/bench_linreg.py --variant binary numerical
+timeout 5400 flock /tmp/tfhe_device.lock python -u tools/bench_linreg.py --variant binary numerical
 echo "=== cipher api (divide via prefix circuits) ==="
-timeout 1200 python -u tools/bench_cipher.py
+timeout 1200 flock /tmp/tfhe_device.lock python -u tools/bench_cipher.py
 echo "=== add + mul + vector table refresh (prefix adders / Dadda) ==="
-timeout 3600 python -u tools/bench_suite.py --exp add mul vector
+timeout 3600 flock /tmp/tfhe_device.lock python -u tools/bench_suite.py --exp add mul vector
 echo "=== headline bench.py (throughput + kernel differentials) ==="
-timeout 1800 python -u bench.py | tee /tmp/bench_headline_r3.json
+timeout 1800 python -u bench.py | tee /tmp/bench_headline_r3.json  # takes the lock itself
 echo "=== optional: full 16x16 Cannon (Table IX last cell) ==="
 BENCH_MATMUL_SIZES=16 BENCH_CANNON_MAX=16 timeout 7200 \
-  python -u tools/bench_suite.py --exp matmul
+  flock /tmp/tfhe_device.lock python -u tools/bench_suite.py --exp matmul
 echo "=== published-cell coverage audit + RESULTS regeneration ==="
 python tools/check_baseline_coverage.py
 python tools/update_results.py
