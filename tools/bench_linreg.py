@@ -159,18 +159,20 @@ def main(argv=None):
             "speedup": round(ref * 60 / dt, 2) if ref else None}
         print(f"  linreg {variant} {R}x{A} ({nb}-bit): {dt:.1f}s = {dt/60:.2f} min "
               f"(ref {ref} min) — all {A} fits decrypt-verified", flush=True)
+        # persist after EVERY variant: a timeout on the slow numerical run
+        # must not lose the already-measured binary row
+        if args.params == "110":
+            report = {}
+            if os.path.exists(args.out):
+                with open(args.out) as f:
+                    report = json.load(f)
+            report.setdefault("linreg", {}).update(rows)
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=2)
+            print(f"wrote {args.out}")
 
     if args.params != "110":
         print("toy params: smoke run only, not recording into", args.out)
-        return
-    report = {}
-    if os.path.exists(args.out):
-        with open(args.out) as f:
-            report = json.load(f)
-    report.setdefault("linreg", {}).update(rows)
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=2)
-    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

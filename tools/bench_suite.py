@@ -387,8 +387,9 @@ def bench_matmul(sk, report):
                    "cannon_s": round(dtc, 3) if dtc else None,
                    "ref_gpu_s": rr, "speedup_tree": round(rr / dtf, 2) if rr else None}
         print(f"  matmul {D}x{D}: tree {dtf:8.3f}s  cannon {dtc or 0:8.3f}s (ref {rr}s)", flush=True)
-        with open(os.environ.get("BENCH_OUT_INCR", "/dev/null"), "w") as f:
-            json.dump(rows, f)
+        # persist after EVERY size: a timeout at 16x16 must not lose 2/4/8
+        report["matmul"] = rows
+        _flush_report(report)
     report["matmul"] = rows
 
 
@@ -396,12 +397,22 @@ EXPS = {"gates": bench_gates, "compound": bench_compound, "phases": bench_phases
         "add": bench_add, "mul": bench_mul, "vector": bench_vector,
         "matmul": bench_matmul}
 
+_OUT_PATH = None   # set by main(); lets long experiments checkpoint mid-run
+
+
+def _flush_report(report):
+    if _OUT_PATH:
+        with open(_OUT_PATH, "w") as f:
+            json.dump(report, f, indent=2)
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", nargs="*", default=list(EXPS))
     ap.add_argument("--out", default="BENCH_TABLES.json")
     args = ap.parse_args(argv)
+    global _OUT_PATH
+    _OUT_PATH = args.out
 
     print(f"device: {jax.devices()[0]}", flush=True)
     t0 = time.time()
