@@ -49,6 +49,16 @@ def main(out_path="BENCH_TABLES.json"):
         assert got == want, f"{name}: {got} != {want}"
         rows[name] = round(dt, 3)
         print(f"  {name:18s} {dt:7.3f}s", flush=True)
+        _persist()   # checkpoint per op: a timeout on divide keeps the rest
+
+    def _persist():
+        report = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                report = json.load(f)
+        report.setdefault("cipher_api_16bit", {}).update(rows)
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
 
     rec("compare_gt", lambda: arith.gt(ca, cb, sk.cloud), 1,
         decrypt=lambda s, o: tt.decrypt_bits(s, o))
@@ -63,13 +73,7 @@ def main(out_path="BENCH_TABLES.json"):
         ((av * bv) & 0xFFFF) - ((1 << 16) if (av * bv) & 0x8000 else 0))
     rec("divide", lambda: arith.div(ca, cb, sk.cloud), av // bv)
 
-    report = {}
-    if os.path.exists(out_path):
-        with open(out_path) as f:
-            report = json.load(f)
-    report["cipher_api_16bit"] = rows
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=2)
+    _persist()
     print(f"wrote {out_path}")
 
 
