@@ -20,6 +20,7 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 
 import tfhe_tpu as tt
 from tfhe_tpu import arith
+from provenance import stamp as _stamp_section
 
 
 def timed(fn, *args, n=3):
@@ -57,6 +58,7 @@ def main(out_path="BENCH_TABLES.json"):
             with open(out_path) as f:
                 report = json.load(f)
         report.setdefault("cipher_api_16bit", {}).update(rows)
+        _stamp_section(report, "cipher_api_16bit")
         with open(out_path, "w") as f:
             json.dump(report, f, indent=2)
 

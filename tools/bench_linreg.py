@@ -38,6 +38,7 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 import tfhe_tpu as tt
 from tfhe_tpu import arith
 from tfhe_tpu.apps import linreg
+from provenance import stamp as _stamp_section
 
 REF_GPU_MIN = {"binary": 53.91, "numerical": 163.38}   # Table X, 200x10
 
@@ -167,6 +168,7 @@ def main(argv=None):
                 with open(args.out) as f:
                     report = json.load(f)
             report.setdefault("linreg", {}).update(rows)
+            _stamp_section(report, "linreg")
             with open(args.out, "w") as f:
                 json.dump(report, f, indent=2)
             print(f"wrote {args.out}")

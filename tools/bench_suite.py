@@ -31,6 +31,15 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 
 import tfhe_tpu as tt
 from tfhe_tpu import arith, gates, linalg
+from provenance import stamp as _stamp_section
+
+# sections each experiment writes — stamped with {commit, utc} at write time
+# so tools/provenance.py can mechanically detect stale cells (round-3 fix)
+EXP_SECTIONS = {"gates": ["gate_batch"], "phases": ["gate_phases"],
+                "compound": ["compound_gate"], "add": ["add"], "mul": ["mul"],
+                "vector": ["vector_add", "vector_add_32bit", "vector_mul",
+                           "vector_mul_32bit", "vector64"],
+                "matmul": ["matmul"]}
 
 # Reference GPU numbers (GTX 1080; BASELINE.md, paper Tables IV-IX), seconds.
 REF_GPU = {
@@ -49,6 +58,22 @@ REF_GPU = {
     "vector_mul_32bit": {4: 96.6, 8: 177.6, 16: 337.2, 32: 647.4},  # Table VIII
     "matmul_16bit": {2: 51.6, 4: 354.0, 8: 2637.0, 16: 11173.8},  # Table IX (s)
 }
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _env(key, value):
+    prev = os.environ.get(key)
+    os.environ[key] = value
+    try:
+        yield
+    finally:
+        if prev is None:
+            del os.environ[key]
+        else:
+            os.environ[key] = prev
 
 
 def _sync(out):
@@ -260,7 +285,15 @@ def bench_add(sk, report):
         rows[nb] = {"bitwise_s": round(dt1, 3), "numberwise_s": round(dtn, 3),
                     "ref_bitwise_s": r1, "ref_numberwise_s": rn,
                     "speedup_bitwise": round(r1 / dt1, 2) if r1 else None}
-        print(f"  add {nb}-bit: GPU_1 {dt1:6.3f}s (ref {r1}s)  GPU_n {dtn:6.3f}s (ref {rn}s)", flush=True)
+        # A/B the serial-depth lever (round-3 Kogge-Stone prefix adder vs the
+        # 2-bootstrap ripple) so the auto policy's win/loss is a recorded fact
+        for flag, key in (("0", "ab_ripple_s"), ("1", "ab_prefix_s")):
+            with _env("TFHE_TPU_LOOKAHEAD", flag):
+                dtab, outab = _timed(lambda x, y: arith.add(x, y, sk.cloud), ca, cb)
+            assert int(arith.decrypt_int(sk, outab)) == _signed(a + b, nb)
+            rows[nb][key] = round(dtab, 3)
+        print(f"  add {nb}-bit: GPU_1 {dt1:6.3f}s (ref {r1}s)  GPU_n {dtn:6.3f}s (ref {rn}s)  "
+              f"[A/B ripple {rows[nb]['ab_ripple_s']}s prefix {rows[nb]['ab_prefix_s']}s]", flush=True)
     report["add"] = rows
 
 
@@ -280,17 +313,10 @@ def bench_mul(sk, report):
         rows[nb] = {"naive_s": round(dtn, 3), "karatsuba_s": round(dtk, 3),
                     "ref_naive_s": rn, "ref_karatsuba_s": rk,
                     "speedup_naive": round(rn / dtn, 2) if rn else None}
-        if nb == 16:
+        if nb in (16, 32):
             # A/B: the 7:3 septet compressor vs the pure full-adder tree
-            prev_septet = os.environ.get("TFHE_TPU_SEPTET")
-            os.environ["TFHE_TPU_SEPTET"] = "0"
-            try:
+            with _env("TFHE_TPU_SEPTET", "0"):
                 dtf, outf = _timed(lambda x, y: arith.mul(x, y, sk.cloud), ca, cb)
-            finally:
-                if prev_septet is None:
-                    del os.environ["TFHE_TPU_SEPTET"]
-                else:
-                    os.environ["TFHE_TPU_SEPTET"] = prev_septet
             assert int(arith.decrypt_int(sk, outf)) == _signed(a * b, nb)
             rows[nb]["naive_fa_s"] = round(dtf, 3)
         print(f"  mul {nb}-bit: naive {dtn:7.3f}s (ref {rn}s)  karatsuba {dtk:7.3f}s (ref {rk}s)", flush=True)
@@ -389,6 +415,7 @@ def bench_matmul(sk, report):
         print(f"  matmul {D}x{D}: tree {dtf:8.3f}s  cannon {dtc or 0:8.3f}s (ref {rr}s)", flush=True)
         # persist after EVERY size: a timeout at 16x16 must not lose 2/4/8
         report["matmul"] = rows
+        _stamp_section(report, "matmul")
         _flush_report(report)
     report["matmul"] = rows
 
@@ -429,6 +456,9 @@ def main(argv=None):
     for name in args.exp:
         print(f"== {name} ==", flush=True)
         EXPS[name](sk, report)
+        for section in EXP_SECTIONS.get(name, []):
+            if section in report:
+                _stamp_section(report, section)
         with open(args.out, "w") as f:     # incremental: survive timeouts
             json.dump(report, f, indent=2)
     print(f"wrote {args.out}")

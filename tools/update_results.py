@@ -153,11 +153,19 @@ def main(argv=None):
         print("refusing: regeneration would change the section structure")
         return 2
     if check:
+        rc = 0
         if new != text:
             print("RESULTS.md is stale vs BENCH_TABLES.json — run tools/update_results.py")
-            return 1
-        print("RESULTS.md tables in sync with BENCH_TABLES.json")
-        return 0
+            rc = 1
+        else:
+            print("RESULTS.md tables in sync with BENCH_TABLES.json")
+        # round-4: cells must also be provenance-fresh (measured at a commit
+        # containing the last change to the circuit they measure)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import provenance
+        if provenance.check():
+            rc = 1
+        return rc
     if new != text:
         with open(path, "w") as f:
             f.write(new)
