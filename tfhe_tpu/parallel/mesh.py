@@ -79,6 +79,36 @@ def sharded_bootstrap_step(x: LweCiphertext, cloud, mesh: Mesh, axis: str = "dp"
     return jax.jit(fn)(x, cloud)
 
 
+def sharded_circuit(circuit, cts, cloud, mesh: Mesh, axis: str = "dp"):
+    """Run a whole multi-gate CIRCUIT data-parallel over the mesh: the leading
+    batch axis of every input ciphertext is sharded, keys replicated, and the
+    entire circuit traces into ONE sharded program per chip (every gate,
+    compressor level and carry chain included — no per-gate re-sharding).
+
+    circuit: (ct, ..., cloud) -> ct, any tfhe_tpu circuit whose leading batch
+    axis indexes independent work items (all of arith/linalg qualifies: the
+    reference's `_vector` variants are the same circuits on a bigger batch).
+    cts: tuple of input ciphertexts, leading axis divisible by the mesh.
+
+    This is the multi-chip form the v5e-8 throughput projection assumes: DP
+    over the bit-coalescing axis with zero ICI traffic inside the circuit.
+    """
+    def spec(ct):
+        nb = len(ct.batch_shape)
+        return LweCiphertext(a=P(axis, *([None] * nb)),
+                             b=P(axis, *([None] * (nb - 1))),
+                             cv=P(axis, *([None] * (nb - 1))))
+
+    fn = shard_map(
+        lambda *args: circuit(*args),
+        mesh=mesh,
+        in_specs=tuple(spec(c) for c in cts) + (_replicated_cloud_spec(cloud),),
+        out_specs=spec(cts[0]),
+        check_vma=False,
+    )
+    return jax.jit(fn)(*cts, cloud)
+
+
 def make_mesh2d_dp_ks(dp: int, ks: int) -> Mesh:
     import numpy as np
     devs = np.array(jax.devices()[: dp * ks]).reshape(dp, ks)
