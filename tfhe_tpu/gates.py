@@ -520,11 +520,20 @@ def prefix_combine(g_hi, g_lo, p_hi, p_lo, cloud):
     every distinct shape, ~30-70 s each)."""
     B = _flat_batch(g_hi)
     if 3 * B > GATE_CHUNK:
-        # large batches are throughput-bound; callers should use ripple
-        # circuits there, but stay correct via separate gates
-        g = MUX(p_hi, g_lo, g_hi, cloud)
-        p = AND(p_hi, p_lo, cloud)
-        return g, p
+        # throughput regime: keep the fused 3-images-one-KS structure by
+        # chunking the batch (a MUX+AND fallback would triple the KS cost)
+        third = GATE_CHUNK // 3
+        shape = g_hi.batch_shape
+        flats = [v.reshape(B) for v in (g_hi, g_lo, p_hi, p_lo)]
+        gs, ps = [], []
+        for s in range(0, B, third):
+            e = min(s + third, B)
+            gi, pi = prefix_combine(flats[0][s:e], flats[1][s:e],
+                                    flats[2][s:e], flats[3][s:e], cloud)
+            gs.append(gi)
+            ps.append(pi)
+        return (lwe_concat(gs, axis=0).reshape(shape),
+                lwe_concat(ps, axis=0).reshape(shape))
     Bp = _bucket(B)
     if Bp != B:
         shape = g_hi.batch_shape
