@@ -92,6 +92,36 @@ def _latency_bound(a: LweCiphertext) -> bool:
     return _latency_policy(gates._flat_batch(a) // max(nbits, 1))
 
 
+def _chain_ok(a: LweCiphertext, cloud) -> bool:
+    """Route serial adder chains through the single-launch fused chain kernel
+    (ops/chain_pallas.py: the whole nbits-stage ripple — blind rotates, key
+    switches and inter-stage affines — in ONE device program).
+    TFHE_TPU_CHAIN=1 enables, 0 disables; 'auto' is currently OFF pending
+    hardware validation of the kernel (flip after the round-4 bench)."""
+    import os
+    v = os.environ.get("TFHE_TPU_CHAIN", "auto")
+    if v != "1":
+        return False
+    p = cloud.params
+    B = gates._flat_batch(a) // max(a.batch_shape[-1], 1)
+    return p.k == 1 and p.N % 128 == 0 and p.N >= 256 and 2 * B <= 64
+
+
+def _chain_add(a: LweCiphertext, b: LweCiphertext, cloud,
+               carry_one: bool, negate_b: bool) -> LweCiphertext:
+    from .ops.chain_pallas import fa_chain
+    nbits = a.batch_shape[-1]
+    lead = a.batch_shape[:-1]
+    B = gates._flat_batch(a) // nbits
+    af, bf = a.reshape((B, nbits)), b.reshape((B, nbits))
+    if negate_b:
+        bf = gates.NOT(bf)
+    cin = gates.CONSTANT(
+        jnp.full((B,), 1 if carry_one else 0, jnp.int32), a.n, (B,))
+    sums, _ = fa_chain(af, bf, cin, cloud)
+    return sums.reshape(lead + (nbits,))
+
+
 def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Bitwise ripple-carry adder, the reference's fastest (GPU_1)
     (taskLevelParallelAdd_bitwise, main.cu:821-890), rebuilt on the 2-bootstrap
@@ -99,7 +129,11 @@ def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     + carry images) and one key switch — vs the reference's 5 gates / 3
     sequential bootstraps per bit. Result has the same nbits (overflow
     dropped, matching the reference). Latency-bound small batches take the
-    Kogge-Stone prefix adder instead (add_fast)."""
+    Kogge-Stone prefix adder instead (add_fast), or — when enabled — the
+    whole-chain fused kernel (_chain_add: ONE device program for all nbits
+    stages)."""
+    if _chain_ok(a, cloud):
+        return _chain_add(a, b, cloud, carry_one=False, negate_b=False)
     if _latency_bound(a):
         return add_fast(a, b, cloud)
     nbits = a.batch_shape[-1]
@@ -232,6 +266,8 @@ def sub(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     with the carry-in folded into g_0 (a|~b), so a-b costs the same depth
     as a+b."""
     nbits = a.batch_shape[-1]
+    if _chain_ok(a, cloud):
+        return _chain_add(a, b, cloud, carry_one=True, negate_b=True)
     if _latency_bound(a):
         g, p = gates.gate2_pair("ANDYN", "XNOR", a, b, a, b, cloud)
         g0 = gates.ORYN(a[..., :1], b[..., :1], cloud)     # carry-in = 1

@@ -1,0 +1,310 @@
+"""Whole-serial-circuit fused kernel: a ripple full-adder CHAIN in ONE launch.
+
+Round-3 measurement: a 16-bit ripple add spends ~12 ms per full-adder stage
+although a lone chained gate program costs ~3.5 ms — roughly 2/3 of serial-
+circuit latency is per-program glue (dispatch RTT, output relayout, re-entry
+into the next program). This kernel removes ALL of it: the entire nbits-stage
+carry chain — every blind rotate, sample extract, key switch and the affine
+that feeds the next stage — runs inside ONE Pallas launch with
+grid = (nbits, n). Nothing touches HBM between stages except the streamed
+bootstrapping-key slices.
+
+The two pieces that made in-kernel key switching possible (the round-3
+blocker) are layout tricks, not new math:
+
+- **No in-kernel sample-extract flip.** Extraction maps acc coefficient m to
+  a_ext index (0 if m == 0 else N-m) with a sign flip (ref
+  tLweExtractLweSampleIndex, lwe.cu:40-56). Instead of reversing lanes (a
+  relayout Mosaic blocks), the KS TABLE's rows are pre-permuted into
+  acc-native coefficient order (`chain_ks_table`), and the flip becomes an
+  elementwise negate under an iota mask.
+- **No lane->sublane one-hot.** With the table rows grouped as
+  (digit j, value h) planes over native coefficients, each plane's one-hot
+  is an elementwise compare on the SAME [H, 128] tile as the accumulator,
+  and the key-switch contraction is t*(base-1) sublane-batched
+  [IMG,H,128] x [H,128,C] dot_generals on the MXU (f32 accumulation is
+  exact: |partial sums| <= 24576*128 < 2^24).
+
+Per-iteration rotation amounts for the *next* stage are produced in-kernel
+(mod-switch of the affine image) and stored in a VMEM scratch; each CMux
+iteration extracts its scalar with an iota==j mask-reduce — no dynamic lane
+indexing, no transposes.
+
+Reference counterpart: the reference has none — its fastest adder launches
+5 gate kernels per bit with host round-trips between them
+(taskLevelParallelAdd_bitwise, gpuParallel/main.cu:821-890;
+boot-gates.cu:2864-2867 host sync per gate).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import ntt
+from ..params import TfheParams
+from ..core.lwe import LweCiphertext
+from .cmux_pallas_packed import (LANE, _cmux_iter, _rotate_packed,
+                                 _twiddle_planes)
+
+MU = 1 << 29
+
+
+# ------------------------------------------------------------- the KS table
+
+_CHAIN_TABLE_CACHE: dict = {}
+
+
+def chain_ks_table(cloud) -> jnp.ndarray:
+    """Reorder the cloud's KS limb table for in-kernel key switching.
+
+    cloud.ks_table rows are (i, j, h-1) C-order over EXTRACTED coefficients i
+    (keys.ks_to_limb_table). The chain kernel consumes the accumulator
+    directly, so rows are regrouped as (j, h-1) planes over NATIVE acc
+    coefficients m (i = 0 if m==0 else N-m):
+
+        int8[t*(base-1), H, 128, 4, C]  (H = N/128 sublanes, C = pad cols)
+    """
+    key = id(cloud.ks_table)
+    hit = _CHAIN_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    p: TfheParams = cloud.params
+    assert p.k == 1, "chain kernel supports k=1 (the reference's only k)"
+    n_ext, t, bm1 = p.n_extract, p.ks_t, p.ks_base - 1
+    C = cloud.ks_pad_cols
+    tab = np.asarray(cloud.ks_table).reshape(n_ext, t, bm1, 4, C)
+    m = np.arange(n_ext)
+    i_of_m = np.where(m == 0, 0, n_ext - m)
+    # [n_ext(m), t, bm1, 4, C] -> [t, bm1, m, 4, C] -> [t*bm1, H, 128, 4, C]
+    re = tab[i_of_m].transpose(1, 2, 0, 3, 4).reshape(
+        t * bm1, n_ext // LANE, LANE, 4, C)
+    out = jnp.asarray(np.ascontiguousarray(re))
+    _CHAIN_TABLE_CACHE.clear()          # one cloud key at a time is typical
+    _CHAIN_TABLE_CACHE[key] = out
+    return out
+
+
+# ------------------------------------------------------------- kernel pieces
+
+def _iota3(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _stage_setup(params: TfheParams, B: int, u_c, acc_scr, ams_scr):
+    """From the carry-image affine u_c = a + b + carry (int32[B, C]), build
+    this stage's two bootstrap images, their per-iteration rotation amounts,
+    and the rotated test-vector accumulator."""
+    N = params.N
+    H = N // LANE
+    n = params.n
+    IMG = 2 * B
+    u = jnp.concatenate([u_c, jnp.int32(2) * u_c], axis=0)          # [IMG, C]
+    # mod-switch every lane to [0, 2N) (numeric.mod_switch_from_torus32)
+    shift = 32 - (2 * N).bit_length() + 1
+    half = jnp.uint32(1 << (shift - 1))
+    ams = jax.lax.bitcast_convert_type(
+        ((jax.lax.bitcast_convert_type(u, jnp.uint32) + half)
+         >> jnp.uint32(shift)) % jnp.uint32(2 * N), jnp.int32)      # [IMG, C]
+    ams_scr[...] = ams
+    # barb: lane n, per image
+    lane_c = _iota3(ams.shape, 1)
+    barb = jnp.sum(jnp.where(lane_c == n, ams, 0), axis=1, keepdims=True)
+    amt = (jnp.int32(2 * N) - barb) & jnp.int32(2 * N - 1)          # [IMG, 1]
+    # test vector: +MU for all rows; the FA sum rows are negated AFTER the
+    # key switch (exactly gates._fa3_jit's lwe_negate — negating before KS
+    # would change the nonlinear digit rounding and break bit-equality with
+    # the gate-layer path)
+    tv = jnp.full((IMG, H, LANE), jnp.int32(MU))
+    amt3 = amt[:, :, None]                                           # [IMG,1,1]
+
+    def bits(kb):
+        return ((amt3 >> kb) & 1) != 0
+
+    tvb = _rotate_packed(tv, bits, N, H)
+    acc_scr[...] = jnp.concatenate(
+        [jnp.zeros((IMG, H, LANE), jnp.int32), tvb], axis=0)
+
+
+def _keyswitch(params: TfheParams, B: int, acc, tchain_ref, ks_loop: bool):
+    """In-kernel key switch of the IMG bootstrapped samples held in `acc`.
+
+    Returns int32[IMG, C]: lanes [0, n) the switched a, lane n the switched
+    b, last lane the per-sample nonzero-digit count (for exact cv accounting
+    outside — ref lweKeySwitchTranslate_fromArray per-digit variance,
+    lwe-keyswitch-functions.cu:119-125)."""
+    N, n = params.N, params.n
+    H = N // LANE
+    t, bm1 = params.ks_t, params.ks_base - 1
+    IMG = 2 * B
+    C = tchain_ref.shape[-1]
+    acc0 = acc[:IMG]                                                # [IMG, H, 128]
+    # b_ext: channel-1 coefficient 0 of each image
+    b_ext = jnp.sum(
+        jnp.where((_iota3((IMG, H, LANE), 1) == 0)
+                  & (_iota3((IMG, H, LANE), 2) == 0), acc[IMG:], 0),
+        axis=(1, 2), keepdims=False)[:, None]                       # [IMG, 1]
+    # native-order extract: x[m] = acc0[0] if m==0 else -acc0[m]
+    m0 = (_iota3(acc0.shape, 1) == 0) & (_iota3(acc0.shape, 2) == 0)
+    x = jnp.where(m0, acc0, -acc0)
+    u = (jax.lax.bitcast_convert_type(x, jnp.uint32)
+         + jnp.uint32(params.ks_prec_offset))
+    r_limb = [jnp.zeros((IMG, C), jnp.float32) for _ in range(4)]
+    nnz = jnp.zeros((IMG, 1, 1), jnp.int32)
+    for jd in range(t):
+        dig = (u >> jnp.uint32(32 - (jd + 1) * params.ks_basebit)) \
+            & jnp.uint32(params.ks_base - 1)
+        nnz = nnz + jnp.sum((dig != 0).astype(jnp.int32), axis=(1, 2),
+                            keepdims=True)
+        for h in range(1, bm1 + 1):
+            mask = (dig == h).astype(jnp.float32)                   # [IMG,H,128]
+            for lb in range(4):
+                rhs = tchain_ref[jd * bm1 + (h - 1), :, :, lb, :] \
+                    .astype(jnp.float32)                            # [H,128,C]
+                if ks_loop:
+                    acc_l = r_limb[lb]
+                    for hs in range(H):
+                        acc_l = acc_l + jnp.dot(
+                            mask[:, hs, :], rhs[hs],
+                            preferred_element_type=jnp.float32)
+                    r_limb[lb] = acc_l
+                else:
+                    part = jax.lax.dot_general(
+                        mask, rhs, (((2,), (1,)), ((1,), (0,))),
+                        preferred_element_type=jnp.float32)         # [H,IMG,C]
+                    r_limb[lb] = r_limb[lb] + jnp.sum(part, axis=0)
+    r = (r_limb[0].astype(jnp.int32)
+         + (r_limb[1].astype(jnp.int32) << 8)
+         + (r_limb[2].astype(jnp.int32) << 16)
+         + (r_limb[3].astype(jnp.int32) << 24))                     # [IMG, C]
+    lane_c = _iota3(r.shape, 1)
+    out = jnp.where(lane_c < n, -r, jnp.where(lane_c == n, b_ext - r, 0))
+    # negate the sum rows (rows [B, 2B)) post-KS — the FA sum's free NOT
+    out = jnp.where((_iota3(r.shape, 0) >= B) & (lane_c <= n), -out, out)
+    return jnp.where(lane_c == C - 1, nnz[:, :, 0], out)
+
+
+def _chain_kernel(params: TfheParams, B: int, S: int, ks_loop: bool,
+                  ab0_ref, abn_ref, carry0_ref,
+                  bk_ref, bksh_ref, tw_ref, tchain_ref,
+                  out_ref, acc_scr, ams_scr):
+    n = params.n
+    IMG = 2 * B
+    C = ams_scr.shape[-1]
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((s == 0) & (j == 0))
+    def _():
+        u_c = (ab0_ref[0] + ab0_ref[1] + carry0_ref[...])
+        _stage_setup(params, B, u_c, acc_scr, ams_scr)
+
+    # one CMux iteration: rotation amounts from the scratch, iota-extracted
+    ams = ams_scr[...]
+    sel = (_iota3(ams.shape, 1) == j).astype(jnp.int32)
+    bara_j = jnp.sum(ams * sel, axis=1, keepdims=True)              # [IMG, 1]
+    a_slab = jnp.concatenate([bara_j, bara_j], axis=0)[:, :, None]  # [SLAB,1,1]
+    acc = _cmux_iter(params, IMG, acc_scr[...], a_slab,
+                     bk_ref[0], bksh_ref[0], tw_ref)
+    acc_scr[...] = acc
+
+    @pl.when(j == n - 1)
+    def _():
+        sample = _keyswitch(params, B, acc, tchain_ref, ks_loop)    # [IMG, C]
+        out_ref[0] = sample
+        # next stage: carry = switched rows [0, B); nnz lane masked out
+        lane_c = _iota3((B, C), 1)
+        carry = jnp.where(lane_c == C - 1, 0, sample[:B])
+        u_c = abn_ref[0, 0] + abn_ref[0, 1] + carry
+        _stage_setup(params, B, u_c, acc_scr, ams_scr)
+
+
+def fa_chain(a: LweCiphertext, b: LweCiphertext, carry0: LweCiphertext,
+             cloud, interpret: bool = False):
+    """Full ripple adder (sum, carry-out) = a + b + carry0 in ONE kernel.
+
+    a, b: LweCiphertext [B, nbits] (key-switched domain); carry0: [B].
+    Returns (sums [B, nbits], carry_out [B]) with exact per-digit cv.
+    Set TFHE_CHAIN_KS=loop to use unrolled 2-D matmuls instead of the
+    sublane-batched dot_general in the key switch (A/B for Mosaic support).
+    """
+    import os
+    interpret = interpret or jax.default_backend() != "tpu"
+    params: TfheParams = cloud.params
+    N, n = params.N, params.n
+    assert params.k == 1 and N % LANE == 0 and N >= 2 * LANE
+    B, S = a.batch_shape[0], a.batch_shape[-1]
+    IMG = 2 * B
+    H = N // LANE
+    C = cloud.ks_pad_cols
+    ks_loop = os.environ.get("TFHE_CHAIN_KS", "dot") == "loop"
+
+    def pack(ct: LweCiphertext, lead) -> jnp.ndarray:
+        """[..., n]-sample -> int32[..., C] rows (a | b | zeros)."""
+        buf = jnp.zeros(lead + (C,), jnp.int32)
+        buf = buf.at[..., :n].set(ct.a)
+        return buf.at[..., n].set(ct.b)
+
+    ab = jnp.stack([pack(a, (B, S)), pack(b, (B, S))], axis=0)      # [2,B,S,C]
+    ab = ab.transpose(2, 0, 1, 3)                                   # [S,2,B,C]
+    ab0 = ab[0]
+    abn = jnp.concatenate([ab, jnp.zeros((1, 2, B, C), jnp.int32)], axis=0)
+    carry0_p = pack(carry0, (B,))
+    # BK slices in packed-slab form (as blind_rotate_fused_packed)
+    P = cloud.bk_ntt.shape[1]
+    kpl, k1 = params.kpl, params.k + 1
+    bk6 = cloud.bk_ntt.reshape(n, P, kpl, k1, H, LANE)
+    bksh6 = cloud.bk_ntt_shoup.reshape(n, P, kpl, k1, H, LANE)
+    tw = jnp.asarray(_twiddle_planes(N, params.halfBg))
+    NP = tw.shape[1]
+    tchain = chain_ks_table(cloud)
+    TB = tchain.shape[0]
+
+    kern = functools.partial(_chain_kernel, params, B, S, ks_loop)
+    call = pl.pallas_call(
+        kern,
+        grid=(S, n),
+        in_specs=[
+            pl.BlockSpec((2, B, C), lambda s, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, B, C), lambda s, j: (s + 1, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, C), lambda s, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, kpl, k1, H, LANE), lambda s, j: (j, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, kpl, k1, H, LANE), lambda s, j: (j, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, NP, H, LANE), lambda s, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H, LANE, 4, C), lambda s, j: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, IMG, C), lambda s, j: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, IMG, C), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((k1 * IMG, H, LANE), jnp.int32),
+                        pltpu.VMEM((IMG, C), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )
+    out = call(ab0, abn, carry0_p, bk6, bksh6, tw, tchain)          # [S,IMG,C]
+
+    # unpack + exact cv (the in-kernel nnz rides the last lane)
+    from ..core.bootstrap import _bootstrap_variance
+    var_bs = _bootstrap_variance(params)
+    ks_var = params.ks_stdev ** 2
+
+    def unpack(rows) -> LweCiphertext:
+        nnz = rows[..., C - 1].astype(jnp.float32)
+        cv = jnp.float32(var_bs) + nnz * jnp.float32(ks_var)
+        return LweCiphertext(rows[..., :n], rows[..., n], cv)
+
+    sums = unpack(out[:, B:2 * B].transpose(1, 0, 2))               # [B, S, C]
+    carry_out = unpack(out[S - 1, :B])                              # [B, C]
+    return sums, carry_out

@@ -41,6 +41,7 @@ SECTION_DEPS = {
     "vector_mul_32bit": _LINALG,
     "vector64": _LINALG,
     "matmul": _LINALG,
+    "chain": _ARITH,
     "cipher_api_16bit": _ARITH + ["tfhe_tpu/cipher.py"],
     "linreg": _LINALG + ["tfhe_tpu/apps/linreg.py"],
     "headline": _CORE,

@@ -54,6 +54,7 @@ run_stage vector   5400 lock python -u tools/bench_suite.py --exp vector
 run_stage cipher   2400 lock python -u tools/bench_cipher.py
 run_stage linreg_binary    3600 lock python -u tools/bench_linreg.py --variant binary
 run_stage linreg_numerical 7200 lock python -u tools/bench_linreg.py --variant numerical
+run_stage chain_probe      2700 lock python -u tools/bench_chain.py
 run_stage matmul   10800 lock env BENCH_MATMUL_SIZES=2,4,8 BENCH_CANNON_MAX=8 python -u tools/bench_suite.py --exp matmul
 run_stage matmul16 14400 lock env BENCH_MATMUL_SIZES=16 BENCH_CANNON_MAX=16 python -u tools/bench_suite.py --exp matmul
 
