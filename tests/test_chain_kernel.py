@@ -87,3 +87,27 @@ def test_arith_add_sub_route_through_chain(small_keys, monkeypatch):
     np.testing.assert_array_equal(got_add, (av + bv) % (1 << nbits))
     got_sub = arith.decrypt_int(sk, arith.sub(ca, cb, sk.cloud), signed=False)
     np.testing.assert_array_equal(got_sub, (av - bv) % (1 << nbits))
+
+
+def test_div_chain_matches_plaintext(small_keys):
+    """The fused restoring-division loop (div_chain) computes |a|/|b| for
+    positive inputs, interpret mode."""
+    sk = small_keys
+    nb = 4
+    for av, bv in ((11, 3), (9, 2), (7, 7), (5, 1)):
+        ca = arith.encrypt_int(sk, np.array(av), nb, seed=81)
+        cb = arith.encrypt_int(sk, np.array(bv), nb, seed=82)
+        neg_b = arith.twos_complement(cb, sk.cloud)
+        q = chp.div_chain(ca, neg_b, sk.cloud, interpret=True)
+        got = int(arith.decrypt_int(sk, q.reshape((1, nb)), signed=False)[0])
+        assert got == av // bv, (av, bv, got)
+
+
+def test_arith_div_routes_through_chain(small_keys, monkeypatch):
+    monkeypatch.setenv("TFHE_TPU_CHAIN", "1")
+    sk = small_keys
+    nb = 4
+    ca = arith.encrypt_int(sk, np.array(-6), nb, seed=83)
+    cb = arith.encrypt_int(sk, np.array(2), nb, seed=84)
+    got = int(arith.decrypt_int(sk, arith.div(ca, cb, sk.cloud)))
+    assert got == -3, got

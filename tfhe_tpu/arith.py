@@ -906,6 +906,13 @@ def div(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     # subtraction's complement every round, Cipher.cpp:526-558; it is loop
     # invariant — hoisting halves the per-iteration bootstrap count)
     neg_b = twos_complement(abs_b, cloud)
+    if _chain_ok(a, cloud) and a.batch_shape == (nbits,):
+        # the ENTIRE restoring loop — nbits rounds of shift + ripple add +
+        # restoring MUX — as one device program (ops/chain_pallas.div_chain)
+        from .ops.chain_pallas import div_chain
+        quotient = div_chain(abs_a, neg_b, cloud)
+        sign = gates.XOR(a[..., nbits - 1], b[..., nbits - 1], cloud)
+        return add_sign(quotient, sign, cloud)
     # PA register: [remainder(nbits) | quotient-in-progress], LSB half = abs_a
     pa_lo = abs_a                                  # bits [0, nbits)
     pa_hi = zero_like_bits(a, a.batch_shape)       # bits [nbits, 2nbits)

@@ -95,15 +95,14 @@ def _iota3(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
-def _stage_setup(params: TfheParams, B: int, u_c, acc_scr, ams_scr):
-    """From the carry-image affine u_c = a + b + carry (int32[B, C]), build
-    this stage's two bootstrap images, their per-iteration rotation amounts,
-    and the rotated test-vector accumulator."""
+def _images_setup(params: TfheParams, u, acc_scr, ams_scr):
+    """From a batch of bootstrap-input images u (int32[IMG, C]): store their
+    per-iteration rotation amounts and initialize the accumulator to the
+    rotated ±1/8 test vectors."""
     N = params.N
     H = N // LANE
     n = params.n
-    IMG = 2 * B
-    u = jnp.concatenate([u_c, jnp.int32(2) * u_c], axis=0)          # [IMG, C]
+    IMG = u.shape[0]
     # mod-switch every lane to [0, 2N) (numeric.mod_switch_from_torus32)
     shift = 32 - (2 * N).bit_length() + 1
     half = jnp.uint32(1 << (shift - 1))
@@ -115,10 +114,10 @@ def _stage_setup(params: TfheParams, B: int, u_c, acc_scr, ams_scr):
     lane_c = _iota3(ams.shape, 1)
     barb = jnp.sum(jnp.where(lane_c == n, ams, 0), axis=1, keepdims=True)
     amt = (jnp.int32(2 * N) - barb) & jnp.int32(2 * N - 1)          # [IMG, 1]
-    # test vector: +MU for all rows; the FA sum rows are negated AFTER the
-    # key switch (exactly gates._fa3_jit's lwe_negate — negating before KS
-    # would change the nonlinear digit rounding and break bit-equality with
-    # the gate-layer path)
+    # test vector: +MU for all rows; rows that want a negated output (the FA
+    # sum's free NOT) are negated AFTER the key switch (exactly
+    # gates._fa3_jit's lwe_negate — negating before KS would change the
+    # nonlinear digit rounding and break bit-equality with the gate layer)
     tv = jnp.full((IMG, H, LANE), jnp.int32(MU))
     amt3 = amt[:, :, None]                                           # [IMG,1,1]
 
@@ -130,17 +129,26 @@ def _stage_setup(params: TfheParams, B: int, u_c, acc_scr, ams_scr):
         [jnp.zeros((IMG, H, LANE), jnp.int32), tvb], axis=0)
 
 
-def _keyswitch(params: TfheParams, B: int, acc, tchain_ref, ks_loop: bool):
-    """In-kernel key switch of the IMG bootstrapped samples held in `acc`.
+def _stage_setup(params: TfheParams, B: int, u_c, acc_scr, ams_scr):
+    """FA stage: images are the carry affine u_c = a + b + carry (int32[B,C])
+    and the sum affine 2*u_c."""
+    _images_setup(params, jnp.concatenate([u_c, jnp.int32(2) * u_c], axis=0),
+                  acc_scr, ams_scr)
+
+
+def _keyswitch(params: TfheParams, IMG: int, acc, tchain_ref, ks_loop: bool,
+               negate_from: int | None = None):
+    """In-kernel key switch of the IMG bootstrapped samples held in `acc`
+    ([2*IMG, H, 128], channel-major).
 
     Returns int32[IMG, C]: lanes [0, n) the switched a, lane n the switched
     b, last lane the per-sample nonzero-digit count (for exact cv accounting
     outside — ref lweKeySwitchTranslate_fromArray per-digit variance,
-    lwe-keyswitch-functions.cu:119-125)."""
+    lwe-keyswitch-functions.cu:119-125). Rows >= negate_from are negated
+    post-KS (the FA sum's free NOT)."""
     N, n = params.N, params.n
     H = N // LANE
     t, bm1 = params.ks_t, params.ks_base - 1
-    IMG = 2 * B
     C = tchain_ref.shape[-1]
     acc0 = acc[:IMG]                                                # [IMG, H, 128]
     # b_ext: channel-1 coefficient 0 of each image
@@ -183,8 +191,9 @@ def _keyswitch(params: TfheParams, B: int, acc, tchain_ref, ks_loop: bool):
          + (r_limb[3].astype(jnp.int32) << 24))                     # [IMG, C]
     lane_c = _iota3(r.shape, 1)
     out = jnp.where(lane_c < n, -r, jnp.where(lane_c == n, b_ext - r, 0))
-    # negate the sum rows (rows [B, 2B)) post-KS — the FA sum's free NOT
-    out = jnp.where((_iota3(r.shape, 0) >= B) & (lane_c <= n), -out, out)
+    if negate_from is not None:
+        out = jnp.where((_iota3(r.shape, 0) >= negate_from) & (lane_c <= n),
+                        -out, out)
     return jnp.where(lane_c == C - 1, nnz[:, :, 0], out)
 
 
@@ -214,7 +223,8 @@ def _chain_kernel(params: TfheParams, B: int, S: int, ks_loop: bool,
 
     @pl.when(j == n - 1)
     def _():
-        sample = _keyswitch(params, B, acc, tchain_ref, ks_loop)    # [IMG, C]
+        sample = _keyswitch(params, IMG, acc, tchain_ref, ks_loop,
+                            negate_from=B)                          # [IMG, C]
         out_ref[0] = sample
         # next stage: carry = switched rows [0, B); nnz lane masked out
         lane_c = _iota3((B, C), 1)
@@ -296,15 +306,202 @@ def fa_chain(a: LweCiphertext, b: LweCiphertext, carry0: LweCiphertext,
     out = call(ab0, abn, carry0_p, bk6, bksh6, tw, tchain)          # [S,IMG,C]
 
     # unpack + exact cv (the in-kernel nnz rides the last lane)
-    from ..core.bootstrap import _bootstrap_variance
-    var_bs = _bootstrap_variance(params)
-    ks_var = params.ks_stdev ** 2
-
-    def unpack(rows) -> LweCiphertext:
-        nnz = rows[..., C - 1].astype(jnp.float32)
-        cv = jnp.float32(var_bs) + nnz * jnp.float32(ks_var)
-        return LweCiphertext(rows[..., :n], rows[..., n], cv)
-
-    sums = unpack(out[:, B:2 * B].transpose(1, 0, 2))               # [B, S, C]
-    carry_out = unpack(out[S - 1, :B])                              # [B, C]
+    sums = _unpack_samples(out[:, B:2 * B].transpose(1, 0, 2), params)
+    carry_out = _unpack_samples(out[S - 1, :B], params)
     return sums, carry_out
+
+
+def _unpack_samples(rows, params: TfheParams) -> LweCiphertext:
+    from ..core.bootstrap import _bootstrap_variance
+    n = params.n
+    C = rows.shape[-1]
+    nnz = rows[..., C - 1].astype(jnp.float32)
+    cv = (jnp.float32(_bootstrap_variance(params))
+          + nnz * jnp.float32(params.ks_stdev ** 2))
+    return LweCiphertext(rows[..., :n], rows[..., n], cv)
+
+
+# ------------------------------------------------------- restoring division
+
+def _div_kernel(params: TfheParams, nb: int, ks_loop: bool,
+                regs0_ref, bk_ref, bksh_ref, tw_ref, tchain_ref,
+                out_ref, regs_scr, acc_fa, ams_fa, acc_mux, ams_mux):
+    """Restoring-division inner loop, grid = (nb rounds, nb+1 stages, n).
+
+    Register file regs_scr rows: [0,nb) PA-high | [nb,2nb) temp (the round's
+    PA-high + (-|b|) sum) | [2nb,3nb) -|b| (loop-invariant) | [3nb,4nb) |a|
+    bits | 4nb the ripple carry. Stages s<nb are FA stages on bit s (2
+    bootstrap images, small accumulator); stage s==nb is the restoring MUX
+    (2nb images, one combined key switch), writing round r's quotient bit.
+    Mirrors arith.div / ref divInternal (Cipher.cpp:526-558) with the
+    loop-invariant two's complement hoisted.
+    """
+    n = params.n
+    C = ams_fa.shape[-1]
+    W = 4 * nb + 1
+    r = pl.program_id(0)
+    s = pl.program_id(1)
+    j = pl.program_id(2)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (W, C), 1)
+
+    def row_dyn(idx):
+        """[1, C] register extraction at a (possibly traced) row index."""
+        m = iw == idx
+        return jnp.sum(jnp.where(m, regs_scr[...], 0), axis=0, keepdims=True)
+
+    @pl.when((r == 0) & (s == 0) & (j == 0))
+    def _():
+        regs_scr[...] = regs0_ref[...]
+
+    @pl.when((s == 0) & (j == 0))
+    def _():
+        # round start: PA <<= 1 (pa_hi[0] <- |a| bit nb-1-r) + fresh carry-in
+        alo_row = row_dyn(3 * nb + (nb - 1 - r))
+        pa = regs_scr[0:nb]
+        pa_shift = pltpu.roll(pa, 1, axis=0)
+        i_nb = jax.lax.broadcasted_iota(jnp.int32, (nb, C), 0)
+        regs_scr[0:nb] = jnp.where(i_nb == 0, alo_row, pa_shift)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        regs_scr[4 * nb:4 * nb + 1] = jnp.where(
+            lane1 == n, jnp.int32(-MU), 0)                  # trivial FALSE
+
+    @pl.when((s < nb) & (j == 0))
+    def _():
+        u_c = (row_dyn(s) + row_dyn(2 * nb + s)
+               + regs_scr[4 * nb:4 * nb + 1])
+        _stage_setup(params, 1, u_c, acc_fa, ams_fa)
+
+    @pl.when((s == nb) & (j == 0))
+    def _():
+        neg = regs_scr[2 * nb - 1:2 * nb]                   # temp sign bit
+        c18 = jnp.where(jax.lax.broadcasted_iota(
+            jnp.int32, (nb, C), 1) == n, jnp.int32(-MU), 0)
+        u1 = neg + regs_scr[0:nb] + c18                     # AND(neg, pa_hi)
+        u2 = -neg + regs_scr[nb:2 * nb] + c18               # AND(~neg, temp)
+        _images_setup(params, jnp.concatenate([u1, u2], axis=0),
+                      acc_mux, ams_mux)
+
+    def _iter(acc_scr_c, ams_scr_c, img):
+        ams = ams_scr_c[...]
+        sel = (_iota3(ams.shape, 1) == j).astype(jnp.int32)
+        bara_j = jnp.sum(ams * sel, axis=1, keepdims=True)
+        a_slab = jnp.concatenate([bara_j, bara_j], axis=0)[:, :, None]
+        acc = _cmux_iter(params, img, acc_scr_c[...], a_slab,
+                         bk_ref[0], bksh_ref[0], tw_ref)
+        acc_scr_c[...] = acc
+        return acc
+
+    @pl.when(s < nb)
+    def _():
+        acc = _iter(acc_fa, ams_fa, 2)
+
+        @pl.when(j == n - 1)
+        def _():
+            sw = _keyswitch(params, 2, acc, tchain_ref, ks_loop,
+                            negate_from=1)                  # [2, C]
+            regs = regs_scr[...]
+            regs = jnp.where(iw == nb + s, sw[1:2], regs)   # temp[s] = sum
+            regs = jnp.where(iw == 4 * nb, sw[0:1], regs)   # carry
+            regs_scr[...] = regs
+
+    @pl.when(s == nb)
+    def _():
+        acc = _iter(acc_mux, ams_mux, 2 * nb)
+
+        @pl.when(j == n - 1)
+        def _():
+            # MUX recombine BEFORE the key switch (gates._mux_jit): both AND
+            # halves' accumulators sum, +(0, 1/8) on the b channel
+            H = params.N // LANE
+            c0 = acc[0:nb] + acc[nb:2 * nb]
+            c1 = acc[2 * nb:3 * nb] + acc[3 * nb:4 * nb]
+            m0 = ((_iota3((nb, H, LANE), 1) == 0)
+                  & (_iota3((nb, H, LANE), 2) == 0))
+            c1 = c1 + jnp.where(m0, jnp.int32(MU), 0)
+            sw = _keyswitch(params, nb,
+                            jnp.concatenate([c0, c1], axis=0),
+                            tchain_ref, ks_loop)            # [nb, C]
+            regs_scr[0:nb] = sw                             # pa_hi = MUX out
+            # quotient bit of this round: NOT(neg) — free negation; keep the
+            # nnz lane positive for exact cv outside
+            negrow = regs_scr[2 * nb - 1:2 * nb]
+            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+            out_ref[...] = jnp.where(lane1 <= n, -negrow, negrow)
+
+
+def div_chain(abs_a: LweCiphertext, neg_b: LweCiphertext, cloud,
+              interpret: bool = False) -> LweCiphertext:
+    """Quotient of |a| / |b| with the WHOLE restoring-division loop — nb
+    rounds of (shift, nb-stage ripple add, restoring MUX), every bootstrap
+    and key switch included — as ONE kernel launch (grid nb*(nb+1)*n).
+
+    abs_a: LweCiphertext [nb] (|a| bits); neg_b: [nb] (two's complement of
+    |b|). Returns the quotient bits [nb]. The sign fixup (arith.add_sign)
+    stays outside, as in ref operator/ (Cipher.cpp:508-524).
+    """
+    import os
+    interpret = interpret or jax.default_backend() != "tpu"
+    params: TfheParams = cloud.params
+    N, n = params.N, params.n
+    assert params.k == 1 and N % LANE == 0 and N >= 2 * LANE
+    nb = abs_a.batch_shape[-1]
+    assert abs_a.batch_shape == (nb,), "div_chain is single-number (B=1)"
+    H = N // LANE
+    C = cloud.ks_pad_cols
+    W = 4 * nb + 1
+    ks_loop = os.environ.get("TFHE_CHAIN_KS", "dot") == "loop"
+
+    def pack(ct: LweCiphertext) -> np.ndarray:
+        buf = jnp.zeros(ct.batch_shape + (C,), jnp.int32)
+        buf = buf.at[..., :n].set(ct.a)
+        return buf.at[..., n].set(ct.b)
+
+    regs0 = jnp.zeros((W, C), jnp.int32)
+    false_row = jnp.zeros((C,), jnp.int32).at[n].set(jnp.int32(-MU))
+    regs0 = regs0.at[0:nb].set(false_row[None])          # pa_hi = enc(0) bits
+    regs0 = regs0.at[2 * nb:3 * nb].set(pack(neg_b))
+    regs0 = regs0.at[3 * nb:4 * nb].set(pack(abs_a))
+
+    P = cloud.bk_ntt.shape[1]
+    kpl, k1 = params.kpl, params.k + 1
+    bk6 = cloud.bk_ntt.reshape(n, P, kpl, k1, H, LANE)
+    bksh6 = cloud.bk_ntt_shoup.reshape(n, P, kpl, k1, H, LANE)
+    tw = jnp.asarray(_twiddle_planes(N, params.halfBg))
+    NP = tw.shape[1]
+    tchain = chain_ks_table(cloud)
+    TB = tchain.shape[0]
+
+    kern = functools.partial(_div_kernel, params, nb, ks_loop)
+    call = pl.pallas_call(
+        kern,
+        grid=(nb, nb + 1, n),
+        in_specs=[
+            pl.BlockSpec((W, C), lambda r, s, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, kpl, k1, H, LANE),
+                         lambda r, s, j: (j, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, kpl, k1, H, LANE),
+                         lambda r, s, j: (j, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, NP, H, LANE), lambda r, s, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H, LANE, 4, C), lambda r, s, j: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C), lambda r, s, j: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, C), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((W, C), jnp.int32),
+                        pltpu.VMEM((2 * k1, H, LANE), jnp.int32),
+                        pltpu.VMEM((2, C), jnp.int32),
+                        pltpu.VMEM((2 * nb * k1, H, LANE), jnp.int32),
+                        pltpu.VMEM((2 * nb, C), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )
+    out = call(regs0, bk6, bksh6, tw, tchain)               # [nb, C]
+    # round r's bit lands at quotient position nb-1-r
+    return _unpack_samples(out[::-1], params)

@@ -95,6 +95,21 @@ def main():
         rows["sub16.chain_s"] = round(dt, 4)
         print(f"sub16 chain:   {dt:.4f}s", flush=True)
         _persist(rows)
+        # whole-loop fused division (grid nb*(nb+1)*n) — the round-3 verdict's
+        # divide <= 2.5 s target rides on this
+        ca = arith.encrypt_int(sk, np.array(1234), 16, seed=75)
+        cb = arith.encrypt_int(sk, np.array(7), 16, seed=76)
+        try:
+            dt, out = timed(lambda x, y, ck: arith.div(x, y, ck),
+                            ca, cb, sk.cloud, n=2)
+            assert int(arith.decrypt_int(sk, out)) == 1234 // 7
+            rows["div16.chain_s"] = round(dt, 4)
+            print(f"div16 chain:   {dt:.4f}s", flush=True)
+        except Exception as e:
+            rows["div16.chain_error"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"div16 chain FAILED: {e}", flush=True)
+            traceback.print_exc()
+        _persist(rows)
     os.environ.pop("TFHE_TPU_CHAIN", None)
 
 
