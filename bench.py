@@ -119,6 +119,7 @@ def main():
     # headline number).
     pallas_verified = False
     pallas_verified_lane = False
+    fused_ks_verified = False
     if jax.default_backend() != "cpu":
         from tfhe_tpu import gates as _g
         from tfhe_tpu.core import bootstrap as bs
@@ -149,6 +150,30 @@ def main():
         print(f"# pallas-vs-XLA on-device differential: identical ciphertexts "
               f"(packed B=32, lane B={nlane})", file=sys.stderr)
 
+        # fused in-kernel key switch differential (TFHE_TPU_FUSEKS)
+        saved = {k: os.environ.get(k) for k in ("TFHE_TPU_PALLAS", "TFHE_TPU_FUSEKS")}
+        try:
+            os.environ["TFHE_TPU_PALLAS"] = "1"
+            os.environ["TFHE_TPU_FUSEKS"] = "1"
+            o_f = jax.jit(lambda x, ck: bs.bootstrap(x, jnp.int32(_g.MU), ck))(tvl, sk.cloud)
+            os.environ["TFHE_TPU_FUSEKS"] = "0"
+            o_d = jax.jit(lambda x, ck: bs.bootstrap(x, jnp.int32(_g.MU), ck))(tvl, sk.cloud)
+            fused_ks_verified = bool(
+                np.array_equal(np.asarray(o_f.a), np.asarray(o_d.a))
+                and np.array_equal(np.asarray(o_f.b), np.asarray(o_d.b)))
+            assert fused_ks_verified, "fused-KS kernel != default path on hardware!"
+            print("# fused-KS-vs-default on-device differential: identical "
+                  f"ciphertexts (lane B={nlane})", file=sys.stderr)
+        except Exception as e:
+            fused_ks_verified = f"{type(e).__name__}: {e}"[:300]
+            print(f"# fused-KS differential FAILED: {e}", file=sys.stderr)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
     # measured per-dispatch tunnel RTT (shared helper, same methodology as
     # tools/bench_suite.py so the two recorded rtt_s values are comparable)
     from tfhe_tpu.utils.profiling import measure_rtt
@@ -168,6 +193,29 @@ def main():
     assert np.array_equal(tt.decrypt_bits(sk, out), want), "chained AND mismatch!"
 
     print(f"# {batch} bootstraps in {dt*1000:.1f} ms -> {thr:.1f} bootstraps/s", file=sys.stderr)
+
+    # A/B: the same timed loop with the in-kernel key switch enabled (the
+    # headline `value` stays the default path; a hardware win here flips the
+    # default in a follow-up commit, keeping `value` = shipped code)
+    thr_fused = None
+    if jax.default_backend() != "cpu" and isinstance(fused_ks_verified, bool) \
+            and fused_ks_verified:
+        os.environ["TFHE_TPU_FUSEKS"] = "1"
+        try:
+            out2 = run(ca, cb)
+            out2 = run(out2, cb)
+            np.asarray(out2.b)
+            t0 = time.time()
+            for _ in range(iters):
+                out2 = run(out2, cb)
+            np.asarray(out2.b)
+            thr_fused = batch / ((time.time() - t0) / iters)
+            assert np.array_equal(tt.decrypt_bits(sk, out2), want)
+            print(f"# fused-KS throughput: {thr_fused:.1f} bootstraps/s",
+                  file=sys.stderr)
+        finally:
+            os.environ.pop("TFHE_TPU_FUSEKS", None)
+
     print(json.dumps({
         "metric": "gate_bootstraps_per_sec",
         "value": round(thr, 2),
@@ -175,6 +223,8 @@ def main():
         "vs_baseline": round(thr / BASELINE_BOOTSTRAPS_PER_SEC, 3),
         "pallas_verified": pallas_verified,
         "pallas_verified_lane": pallas_verified_lane,
+        "fused_ks_verified": fused_ks_verified,
+        "fused_ks_per_sec": round(thr_fused, 2) if thr_fused else None,
         "rtt_s": round(rtt_s, 4),
     }))
 

@@ -88,3 +88,28 @@ def test_blind_rotate_packed_matches_xla(small_keys):
         acc_p, bara.T, sk.cloud.bk_ntt, sk.cloud.bk_ntt_shoup, params, interpret=True)
     got = np.asarray(out_p).reshape(k + 1, B, N).transpose(1, 0, 2)
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_bootstrap_fused_ks_matches_default(small_keys, monkeypatch):
+    """TFHE_TPU_FUSEKS=1: blind rotate + extract + key switch as ONE kernel
+    (lane layout, interpret mode) — bit-identical samples and exact cv vs
+    the default extract + one-hot-matmul path."""
+    import tfhe_tpu as tt
+    from tfhe_tpu import gates
+    from tfhe_tpu.core.crypt import encrypt_bits
+
+    sk = small_keys
+    rng = np.random.RandomState(12)
+    B = 96   # > PACKED_MAX_BATCH so the lane path is the one being fused
+    bits = rng.randint(0, 2, size=(B,)).astype(np.int32)
+    ct = encrypt_bits(sk, bits, seed=91)
+    x = jax.tree.map(lambda v: v, ct)
+
+    monkeypatch.delenv("TFHE_TPU_FUSEKS", raising=False)
+    want = bs.bootstrap(x, jnp.int32(gates.MU), sk.cloud)
+    monkeypatch.setenv("TFHE_TPU_FUSEKS", "1")
+    got = bs.bootstrap(x, jnp.int32(gates.MU), sk.cloud)
+
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    np.testing.assert_allclose(np.asarray(got.cv), np.asarray(want.cv), rtol=1e-6)

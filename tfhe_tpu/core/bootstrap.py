@@ -285,16 +285,8 @@ def _chunked_over_batch(impl, x: LweCiphertext, chunk: int):
     return jax.tree.map(lambda *vs: jnp.concatenate(vs, axis=0), *parts)
 
 
-def bootstrap_woks(x: LweCiphertext, mu, cloud) -> tuple:
-    """Bootstrap without key switch: returns extracted (a_ext, b_ext, cv)
-    (ref tfhe_bootstrap_woKS_FFT, lwe-bootstrapping-functions-fft.cu:1834-1880).
-
-    x: flat batch [B]. mu: int32 scalar (the output message amplitude).
-    """
-    B = x.b.shape[0]
-    if B > LANE_MAX_BATCH:
-        return _chunked_over_batch(
-            lambda c: bootstrap_woks(c, mu, cloud), x, LANE_MAX_BATCH)
+def _prepare_acc(x: LweCiphertext, mu, cloud):
+    """Mod-switch + rotated test-vector accumulator (shared by all paths)."""
     params: TfheParams = cloud.params
     N, k = params.N, params.k
     B = x.b.shape[0]
@@ -312,6 +304,21 @@ def bootstrap_woks(x: LweCiphertext, mu, cloud) -> tuple:
     acc = jnp.concatenate(
         [jnp.zeros((B, k, N), jnp.int32), tvb[:, None, :]], axis=1
     )
+    return acc, bara
+
+
+def bootstrap_woks(x: LweCiphertext, mu, cloud) -> tuple:
+    """Bootstrap without key switch: returns extracted (a_ext, b_ext, cv)
+    (ref tfhe_bootstrap_woKS_FFT, lwe-bootstrapping-functions-fft.cu:1834-1880).
+
+    x: flat batch [B]. mu: int32 scalar (the output message amplitude).
+    """
+    B = x.b.shape[0]
+    if B > LANE_MAX_BATCH:
+        return _chunked_over_batch(
+            lambda c: bootstrap_woks(c, mu, cloud), x, LANE_MAX_BATCH)
+    params: TfheParams = cloud.params
+    acc, bara = _prepare_acc(x, mu, cloud)
     if use_pallas():
         acc = blind_rotate_pallas(acc, bara, cloud, params)
     else:
@@ -319,6 +326,34 @@ def bootstrap_woks(x: LweCiphertext, mu, cloud) -> tuple:
     a_ext, b_ext = sample_extract(acc, params)
     cv = jnp.full((B,), _bootstrap_variance(params), jnp.float32)
     return a_ext, b_ext, cv
+
+
+def use_fused_ks() -> bool:
+    """In-kernel key switch on the lane-layout fused kernel: the whole gate
+    pipeline after the affine is ONE kernel, and the [B, 24576] one-hot
+    operand never exists. TFHE_TPU_FUSEKS=1 enables (A/B in the bench
+    queue); 'auto' stays off until hardware-validated."""
+    import os
+    return os.environ.get("TFHE_TPU_FUSEKS", "auto") == "1"
+
+
+def _bootstrap_fused_ks(x: LweCiphertext, mu, cloud) -> LweCiphertext:
+    """bootstrap() through cmux_pallas.blind_rotate_ks_fused (lane layout)."""
+    from ..ops import cmux_pallas
+    from ..ops.chain_pallas import lane_ks_table
+
+    params: TfheParams = cloud.params
+    n = params.n
+    acc, bara = _prepare_acc(x, mu, cloud)
+    interpret = jax.default_backend() != "tpu"
+    r, ext = cmux_pallas.blind_rotate_ks_fused(
+        acc.transpose(1, 2, 0), bara.T, cloud.bk_rows, cloud.bk_rows_shoup,
+        lane_ks_table(cloud), params, interpret=interpret)
+    a_out = -r[:, :n]
+    b_out = ext[0] - r[:, n]
+    cv = (jnp.float32(_bootstrap_variance(params))
+          + ext[1].astype(jnp.float32) * jnp.float32(params.ks_stdev ** 2))
+    return LweCiphertext(a_out, b_out, cv)
 
 
 def bootstrap(x: LweCiphertext, mu, cloud) -> LweCiphertext:
@@ -329,6 +364,9 @@ def bootstrap(x: LweCiphertext, mu, cloud) -> LweCiphertext:
     B = x.b.shape[0]
     if B > LANE_MAX_BATCH:
         return _chunked_over_batch(lambda c: bootstrap(c, mu, cloud), x, LANE_MAX_BATCH)
+    if (use_fused_ks() and cloud.params.k == 1 and B > PACKED_MAX_BATCH
+            and (use_pallas() or jax.default_backend() != "tpu")):
+        return _bootstrap_fused_ks(x, mu, cloud)
     a_ext, b_ext, cv = bootstrap_woks(x, mu, cloud)
     return key_switch(a_ext, b_ext, cloud.ks_table, cv, cloud.params)
 

@@ -89,6 +89,21 @@ def chain_ks_table(cloud) -> jnp.ndarray:
     return out
 
 
+def lane_ks_table(cloud) -> jnp.ndarray:
+    """chain_ks_table reshaped for the LANE-layout kernel's KS epilogue
+    (cmux_pallas.blind_rotate_ks_fused): int8[t*(base-1), n_ext, 4*C] with
+    native coefficients along the sublane (contraction) axis."""
+    t4 = chain_ks_table(cloud)                      # [TB, H, 128, 4, C]
+    TB, H, _, _, C = t4.shape
+    key = ("lane", id(cloud.ks_table))
+    hit = _CHAIN_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = t4.reshape(TB, H * LANE, 4 * C)
+    _CHAIN_TABLE_CACHE[key] = out
+    return out
+
+
 # ------------------------------------------------------------- kernel pieces
 
 def _iota3(shape, dim):

@@ -395,6 +395,112 @@ def _scan_kernel(params: TfheParams, last_j: int, bara_ref, bk_ref, bksh_ref,
         out_ref[...] = new
 
 
+def _scan_ks_kernel(params: TfheParams, last_j: int, bara_ref, bk_ref,
+                    bksh_ref, tw_ref, acc0_ref, tks_ref,
+                    r_ref, ext_ref, acc_scr):
+    """_scan_kernel + an in-kernel key-switch epilogue at the last grid step.
+
+    tks_ref: int8[t*(base-1), N, 4*C] — the KS limb table with rows
+    pre-permuted to NATIVE accumulator coefficient order (see
+    chain_pallas.chain_ks_table: the sample-extract flip folds into the
+    table, so extraction is an elementwise negate). Outputs: r_ref
+    int32[B, C] (the limb-recombined gather sums) and ext_ref int32[2, B]
+    (row 0 = b_ext, row 1 = the per-sample nonzero-digit count for exact cv).
+    Replaces the XLA extract + one-hot matmul key switch
+    (core/bootstrap.key_switch) — the [B, 24576] int8 one-hot never exists,
+    and the whole gate pipeline after the affine is ONE kernel."""
+    N = params.N
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[...] = acc0_ref[...]
+
+    acc = acc_scr[...]
+    a = bara_ref[...].reshape(1, 1, -1)
+    rot = _rotate_ladder(acc, a, N)
+    dec = _decompose(rot - acc, params)
+    delta = _ntt_extern_product(dec, bk_ref[0], bksh_ref[0], tw_ref, params)
+    new = acc + delta
+    acc_scr[...] = new
+
+    @pl.when(j == last_j)
+    def _():
+        B = new.shape[-1]
+        t, bm1 = params.ks_t, params.ks_base - 1
+        C4 = tks_ref.shape[-1]
+        C = C4 // 4
+        i_m = jax.lax.broadcasted_iota(jnp.int32, (N, B), 0)
+        # native-order extract: x[m] = acc0[0] if m == 0 else -acc0[m]
+        x = jnp.where(i_m == 0, new[0], -new[0])
+        u = (jax.lax.bitcast_convert_type(x, jnp.uint32)
+             + jnp.uint32(params.ks_prec_offset))
+        r4 = jnp.zeros((B, C4), jnp.float32)
+        nnz = jnp.zeros((1, B), jnp.int32)
+        for jd in range(t):
+            dig = (u >> jnp.uint32(32 - (jd + 1) * params.ks_basebit)) \
+                & jnp.uint32(params.ks_base - 1)
+            nnz = nnz + jnp.sum((dig != 0).astype(jnp.int32), axis=0,
+                                keepdims=True)
+            for h in range(1, bm1 + 1):
+                mask = (dig == h).astype(jnp.float32)       # [N, B]
+                r4 = r4 + jax.lax.dot_general(
+                    mask, tks_ref[jd * bm1 + (h - 1)].astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [B, 4C]
+        r = (r4[:, 0:C].astype(jnp.int32)
+             + (r4[:, C:2 * C].astype(jnp.int32) << 8)
+             + (r4[:, 2 * C:3 * C].astype(jnp.int32) << 16)
+             + (r4[:, 3 * C:4 * C].astype(jnp.int32) << 24))
+        r_ref[...] = r
+        ext_ref[...] = jnp.concatenate([new[1, 0:1, :], nnz], axis=0)
+
+
+def blind_rotate_ks_fused(acc_t: jnp.ndarray, bara: jnp.ndarray,
+                          bk_rows: jnp.ndarray, bksh_rows: jnp.ndarray,
+                          tks_lane: jnp.ndarray, params: TfheParams,
+                          interpret: bool = False):
+    """Blind rotate + sample extract + key switch as ONE kernel (lane layout).
+
+    acc_t: int32[k+1, N, B]; bara: int32[n, B]; tks_lane: the permuted KS
+    limb table int8[t*(base-1), N, 4*C] (chain_pallas.lane_ks_table).
+    Returns (r int32[B, C], ext int32[2, B]): the caller finishes with
+    a = -r[:, :n_lwe], b = ext[0] - r[:, n_lwe], cv from ext[1]."""
+    N, kpl, k = params.N, params.kpl, params.k
+    assert k == 1, "fused KS epilogue supports k=1"
+    n = bara.shape[0]
+    B = acc_t.shape[-1]
+    P = bk_rows.shape[1]
+    cols = kpl * (k + 1)
+    tw = jnp.asarray(_twiddle_stack(N, params.halfBg))
+    C = tw.shape[-1]
+    TB, _, C4 = tks_lane.shape
+    kern = functools.partial(_scan_ks_kernel, params, n - 1)
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, N, cols), lambda j: (j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, N, cols), lambda j: (j, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N, C), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, N, B), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, N, C4), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, C4 // 4), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, C4 // 4), jnp.int32),
+                   jax.ShapeDtypeStruct((2, B), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((k + 1, N, B), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(bara[:, None, :], bk_rows, bksh_rows, tw, acc_t, tks_lane)
+
+
 def blind_rotate_fused(acc_t: jnp.ndarray, bara: jnp.ndarray, bk_rows: jnp.ndarray,
                        bksh_rows: jnp.ndarray, params: TfheParams,
                        interpret: bool = False) -> jnp.ndarray:
