@@ -111,3 +111,21 @@ def test_arith_div_routes_through_chain(small_keys, monkeypatch):
     cb = arith.encrypt_int(sk, np.array(2), nb, seed=84)
     got = int(arith.decrypt_int(sk, arith.div(ca, cb, sk.cloud)))
     assert got == -3, got
+
+
+def test_chain_scans_and_compare(small_keys, monkeypatch):
+    """CHAIN_TWOS and CHAIN_CMP microcode: twos_complement, gt, minimum,
+    add_sign all route through fused chains and stay correct."""
+    monkeypatch.setenv("TFHE_TPU_CHAIN", "1")
+    sk = small_keys
+    nb = 4
+    av, bv = np.array(6), np.array(3)
+    ca = arith.encrypt_int(sk, av, nb, seed=61)
+    cb = arith.encrypt_int(sk, bv, nb, seed=62)
+    assert int(arith.decrypt_int(sk, arith.twos_complement(ca, sk.cloud))) == -6
+    assert int(tt.decrypt_bits(sk, arith.gt(ca, cb, sk.cloud))) == 1
+    assert int(tt.decrypt_bits(sk, arith.gt(cb, ca, sk.cloud))) == 0
+    assert int(arith.decrypt_int(sk, arith.minimum(ca, cb, sk.cloud))) == 3
+    one = gates.CONSTANT(np.ones((), np.int32), ca.n, ())
+    neg = arith.add_sign(ca, one, sk.cloud)
+    assert int(arith.decrypt_int(sk, neg)) == -6

@@ -107,9 +107,11 @@ def _chain_ok(a: LweCiphertext, cloud) -> bool:
     return p.k == 1 and p.N % 128 == 0 and p.N >= 256 and 2 * B <= 64
 
 
-def _chain_add(a: LweCiphertext, b: LweCiphertext, cloud,
-               carry_one: bool, negate_b: bool) -> LweCiphertext:
-    from .ops.chain_pallas import fa_chain
+def _chain_run(spec, a: LweCiphertext, b: LweCiphertext, cloud,
+               carry_one: bool = False, negate_b: bool = False):
+    """Flatten leading batch dims, run one fused bit-chain kernel, restore
+    shapes. Returns (per-stage outs [..., nbits], final carry [...])."""
+    from .ops.chain_pallas import bit_chain
     nbits = a.batch_shape[-1]
     lead = a.batch_shape[:-1]
     B = gates._flat_batch(a) // nbits
@@ -118,8 +120,14 @@ def _chain_add(a: LweCiphertext, b: LweCiphertext, cloud,
         bf = gates.NOT(bf)
     cin = gates.CONSTANT(
         jnp.full((B,), 1 if carry_one else 0, jnp.int32), a.n, (B,))
-    sums, _ = fa_chain(af, bf, cin, cloud)
-    return sums.reshape(lead + (nbits,))
+    outs, carry = bit_chain(spec, af, bf, cin, cloud)
+    return outs.reshape(lead + (nbits,)), carry.reshape(lead)
+
+
+def _chain_add(a: LweCiphertext, b: LweCiphertext, cloud,
+               carry_one: bool, negate_b: bool) -> LweCiphertext:
+    from .ops.chain_pallas import CHAIN_FA
+    return _chain_run(CHAIN_FA, a, b, cloud, carry_one, negate_b)[0]
 
 
 def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
@@ -247,6 +255,9 @@ def twos_complement(a: LweCiphertext, cloud) -> LweCiphertext:
     signal, one compound (XOR, OR) bootstrap per bit; latency-bound batches
     use the log-depth prefix-OR scan instead."""
     nbits = a.batch_shape[-1]
+    if _chain_ok(a, cloud):
+        from .ops.chain_pallas import CHAIN_TWOS
+        return _chain_run(CHAIN_TWOS, a, a, cloud)[0]
     if _latency_bound(a):
         return gates.XOR(a, _or_scan_excl(a, cloud), cloud)
     reach = zero_like_bits(a, a.batch_shape[:-1])
@@ -819,7 +830,10 @@ def compare_bit(result, ai, bi, cloud):
 def minimum(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Minimum of two (positive) numbers (ref minimum, Cipher.cpp:313-333)."""
     nbits = a.batch_shape[-1]
-    if _latency_bound(a):
+    if _chain_ok(a, cloud):
+        from .ops.chain_pallas import CHAIN_CMP
+        cmp = _chain_run(CHAIN_CMP, a, b, cloud)[1]        # unsigned a > b
+    elif _latency_bound(a):
         g, p = gates.gate2_pair("ANDYN", "XNOR", a, b, a, b, cloud)
         cmp = _cmp_carry_tree(g, p, cloud)                 # unsigned a > b
     else:
@@ -839,7 +853,10 @@ def gt(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     Latency-bound batches reduce the carry with the pairwise (g,p) combine
     tree (log2(nbits) fused levels) instead of the linear MAJ chain."""
     nbits = a.batch_shape[-1]
-    if _latency_bound(a):
+    if _chain_ok(a, cloud):
+        from .ops.chain_pallas import CHAIN_CMP
+        cin = _chain_run(CHAIN_CMP, a, b, cloud)[1]
+    elif _latency_bound(a):
         g, p = gates.gate2_pair("ANDYN", "XNOR", a, b, a, b, cloud)
         cin = _cmp_carry_tree(g, p, cloud)
     else:
@@ -881,7 +898,10 @@ def absolute(a: LweCiphertext, cloud) -> LweCiphertext:
 def add_sign(x: LweCiphertext, sign, cloud) -> LweCiphertext:
     """Conditionally negate x when sign==1 (ref addSign, Cipher.cpp:560-577)."""
     nbits = x.batch_shape[-1]
-    if _latency_bound(x):
+    if _chain_ok(x, cloud):
+        from .ops.chain_pallas import CHAIN_TWOS
+        res = _chain_run(CHAIN_TWOS, x, x, cloud)[0]
+    elif _latency_bound(x):
         res = gates.XOR(x, _or_scan_excl(x, cloud), cloud)
     else:
         reach = zero_like_bits(x, x.batch_shape[:-1])

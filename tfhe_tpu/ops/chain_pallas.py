@@ -212,20 +212,49 @@ def _keyswitch(params: TfheParams, IMG: int, acc, tchain_ref, ks_loop: bool,
     return jnp.where(lane_c == C - 1, nnz[:, :, 0], out)
 
 
-def _chain_kernel(params: TfheParams, B: int, S: int, ks_loop: bool,
+# Static per-chain-type "microcode": each stage bootstraps len(imgs) images
+# per number, image i = const + ca*a_s + cb*b_s + cc*carry (the b-lane gets
+# the const). Row 0's switched sample is the next stage's carry; rows with
+# neg=True are negated post-KS (a free NOT). This one shape covers every
+# linear-scan circuit of the reference's Cipher API:
+#   FA    — ripple add/sub chains (Cipher.cpp:342; main.cu:821-890)
+#   TWOS  — two's-complement / add_sign reach-scan (Cipher.cpp:300-311)
+#   CMP   — comparator carry MAJ(a, NOT b, cin) (Cipher.cpp:335-340)
+_1_4 = 1 << 30
+CHAIN_FA = (((0, 1, 1, 1), False),        # carry = sign(a+b+c)
+            ((0, 2, 2, 2), True))         # sum = NOT sign(2(a+b+c))
+CHAIN_TWOS = (((MU, 1, 0, 1), False),     # reach' = OR(reach, a)
+              ((_1_4, 2, 0, 2), False))   # out = XOR(a, reach)
+CHAIN_CMP = (((0, 1, -1, 1), False),)     # cin' = MAJ(a, NOT b, cin)
+
+
+def _chain_kernel(params: TfheParams, B: int, S: int, spec, ks_loop: bool,
                   ab0_ref, abn_ref, carry0_ref,
                   bk_ref, bksh_ref, tw_ref, tchain_ref,
                   out_ref, acc_scr, ams_scr):
     n = params.n
-    IMG = 2 * B
+    IMGK = len(spec)
+    IMG = IMGK * B
     C = ams_scr.shape[-1]
     s = pl.program_id(0)
     j = pl.program_id(1)
+    neg_rows = [i for i, (_, neg) in enumerate(spec) if neg]
+    assert neg_rows in ([], [IMGK - 1]), "only the last image slot may negate"
+
+    def _setup(a_s, b_s, carry):
+        lane_c = _iota3((B, C), 1)
+        imgs = []
+        for (const, ca, cb, cc), _ in spec:
+            u = (jnp.int32(ca) * a_s + jnp.int32(cb) * b_s
+                 + jnp.int32(cc) * carry)
+            if const:
+                u = u + jnp.where(lane_c == n, jnp.int32(const), 0)
+            imgs.append(u)
+        _images_setup(params, jnp.concatenate(imgs, axis=0), acc_scr, ams_scr)
 
     @pl.when((s == 0) & (j == 0))
     def _():
-        u_c = (ab0_ref[0] + ab0_ref[1] + carry0_ref[...])
-        _stage_setup(params, B, u_c, acc_scr, ams_scr)
+        _setup(ab0_ref[0], ab0_ref[1], carry0_ref[...])
 
     # one CMux iteration: rotation amounts from the scratch, iota-extracted
     ams = ams_scr[...]
@@ -239,31 +268,30 @@ def _chain_kernel(params: TfheParams, B: int, S: int, ks_loop: bool,
     @pl.when(j == n - 1)
     def _():
         sample = _keyswitch(params, IMG, acc, tchain_ref, ks_loop,
-                            negate_from=B)                          # [IMG, C]
-        out_ref[0] = sample
+                            negate_from=(IMG - B) if neg_rows else None)
+        out_ref[0] = sample                                         # [IMG, C]
         # next stage: carry = switched rows [0, B); nnz lane masked out
         lane_c = _iota3((B, C), 1)
         carry = jnp.where(lane_c == C - 1, 0, sample[:B])
-        u_c = abn_ref[0, 0] + abn_ref[0, 1] + carry
-        _stage_setup(params, B, u_c, acc_scr, ams_scr)
+        _setup(abn_ref[0, 0], abn_ref[0, 1], carry)
 
 
-def fa_chain(a: LweCiphertext, b: LweCiphertext, carry0: LweCiphertext,
-             cloud, interpret: bool = False):
-    """Full ripple adder (sum, carry-out) = a + b + carry0 in ONE kernel.
+def bit_chain(spec, a: LweCiphertext, b: LweCiphertext,
+              carry0: LweCiphertext, cloud, interpret: bool = False):
+    """Run a whole linear bit-scan circuit in ONE kernel launch.
 
-    a, b: LweCiphertext [B, nbits] (key-switched domain); carry0: [B].
-    Returns (sums [B, nbits], carry_out [B]) with exact per-digit cv.
-    Set TFHE_CHAIN_KS=loop to use unrolled 2-D matmuls instead of the
-    sublane-batched dot_general in the key switch (A/B for Mosaic support).
-    """
+    spec: one of CHAIN_FA / CHAIN_TWOS / CHAIN_CMP (or any static microcode
+    tuple). a, b: LweCiphertext [B, nbits] (key-switched domain); carry0:
+    [B]. Returns (outs [B, nbits] — the LAST image slot's samples per stage,
+    or the carries for 1-image chains — and carry_out [B]), exact per-digit
+    cv. Set TFHE_CHAIN_KS=loop for the unrolled-matmul key switch."""
     import os
     interpret = interpret or jax.default_backend() != "tpu"
     params: TfheParams = cloud.params
     N, n = params.N, params.n
     assert params.k == 1 and N % LANE == 0 and N >= 2 * LANE
     B, S = a.batch_shape[0], a.batch_shape[-1]
-    IMG = 2 * B
+    IMG = len(spec) * B
     H = N // LANE
     C = cloud.ks_pad_cols
     ks_loop = os.environ.get("TFHE_CHAIN_KS", "dot") == "loop"
@@ -289,7 +317,7 @@ def fa_chain(a: LweCiphertext, b: LweCiphertext, carry0: LweCiphertext,
     tchain = chain_ks_table(cloud)
     TB = tchain.shape[0]
 
-    kern = functools.partial(_chain_kernel, params, B, S, ks_loop)
+    kern = functools.partial(_chain_kernel, params, B, S, spec, ks_loop)
     call = pl.pallas_call(
         kern,
         grid=(S, n),
@@ -320,10 +348,17 @@ def fa_chain(a: LweCiphertext, b: LweCiphertext, carry0: LweCiphertext,
     )
     out = call(ab0, abn, carry0_p, bk6, bksh6, tw, tchain)          # [S,IMG,C]
 
-    # unpack + exact cv (the in-kernel nnz rides the last lane)
-    sums = _unpack_samples(out[:, B:2 * B].transpose(1, 0, 2), params)
+    # unpack + exact cv (the in-kernel nnz rides the last lane); outs = the
+    # LAST image slot per stage (for 1-image chains that's the carry itself)
+    outs = _unpack_samples(out[:, IMG - B:IMG].transpose(1, 0, 2), params)
     carry_out = _unpack_samples(out[S - 1, :B], params)
-    return sums, carry_out
+    return outs, carry_out
+
+
+def fa_chain(a: LweCiphertext, b: LweCiphertext, carry0: LweCiphertext,
+             cloud, interpret: bool = False):
+    """Full ripple adder (sums, carry-out) = a + b + carry0 in ONE kernel."""
+    return bit_chain(CHAIN_FA, a, b, carry0, cloud, interpret=interpret)
 
 
 def _unpack_samples(rows, params: TfheParams) -> LweCiphertext:

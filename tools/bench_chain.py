@@ -95,6 +95,18 @@ def main():
         rows["sub16.chain_s"] = round(dt, 4)
         print(f"sub16 chain:   {dt:.4f}s", flush=True)
         _persist(rows)
+        # scan/compare chains (CHAIN_TWOS / CHAIN_CMP microcode)
+        ca = arith.encrypt_int(sk, np.array([1234]), 16, seed=77)
+        cb = arith.encrypt_int(sk, np.array([567]), 16, seed=78)
+        dt, out = timed(arith.twos_complement, ca, sk.cloud)
+        assert int(arith.decrypt_int(sk, out)[0]) == -1234
+        rows["twos16.chain_s"] = round(dt, 4)
+        print(f"twos16 chain:  {dt:.4f}s", flush=True)
+        dt, out = timed(arith.gt, ca, cb, sk.cloud)
+        assert int(tt.decrypt_bits(sk, out)[0]) == 1
+        rows["gt16.chain_s"] = round(dt, 4)
+        print(f"gt16 chain:    {dt:.4f}s", flush=True)
+        _persist(rows)
         # whole-loop fused division (grid nb*(nb+1)*n) — the round-3 verdict's
         # divide <= 2.5 s target rides on this
         ca = arith.encrypt_int(sk, np.array(1234), 16, seed=75)
