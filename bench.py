@@ -150,9 +150,15 @@ def main():
         print(f"# pallas-vs-XLA on-device differential: identical ciphertexts "
               f"(packed B=32, lane B={nlane})", file=sys.stderr)
 
-        # fused in-kernel key switch differential (TFHE_TPU_FUSEKS)
+        # fused in-kernel key switch differential (TFHE_TPU_FUSEKS) — gated:
+        # an unvalidated kernel can STALL the axon AOT compiler (not raise),
+        # which would eat the headline stage's timeout. The queue runs a
+        # separate headline_fuseks stage with BENCH_FUSEKS_AB=1.
+        run_fuseks = os.environ.get("BENCH_FUSEKS_AB", "0") == "1"
         saved = {k: os.environ.get(k) for k in ("TFHE_TPU_PALLAS", "TFHE_TPU_FUSEKS")}
         try:
+            if not run_fuseks:
+                raise RuntimeError("skipped (set BENCH_FUSEKS_AB=1)")
             os.environ["TFHE_TPU_PALLAS"] = "1"
             os.environ["TFHE_TPU_FUSEKS"] = "1"
             o_f = jax.jit(lambda x, ck: bs.bootstrap(x, jnp.int32(_g.MU), ck))(tvl, sk.cloud)
