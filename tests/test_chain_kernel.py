@@ -129,3 +129,23 @@ def test_chain_scans_and_compare(small_keys, monkeypatch):
     one = gates.CONSTANT(np.ones((), np.int32), ca.n, ())
     neg = arith.add_sign(ca, one, sk.cloud)
     assert int(arith.decrypt_int(sk, neg)) == -6
+
+
+def test_chain_under_real_noise():
+    """Chain kernels under PARAMS_SMALL_NOISY (reference noise levels at a
+    CPU-fast ring): fused add and division decrypt correctly with real
+    gaussian encryption/key noise in play."""
+    import os
+    sk = tt.keygen(tt.PARAMS_SMALL_NOISY, seed=(314, 1592, 657))
+    nb = 5
+    av, bv = np.array([13]), np.array([4])
+    ca = arith.encrypt_int(sk, av, nb, seed=95)
+    cb = arith.encrypt_int(sk, bv, nb, seed=96)
+    os.environ["TFHE_TPU_CHAIN"] = "1"
+    try:
+        got = arith.decrypt_int(sk, arith.add(ca, cb, sk.cloud), signed=False)
+        np.testing.assert_array_equal(got, [17])
+        q = arith.div(ca.reshape((nb,)), cb.reshape((nb,)), sk.cloud)
+        assert int(arith.decrypt_int(sk, q)) == 3
+    finally:
+        os.environ.pop("TFHE_TPU_CHAIN", None)
