@@ -123,9 +123,29 @@ def gen_linreg(t):
     return rows
 
 
+def gen_chain(t):
+    ch = t.get("chain")
+    if not ch:
+        return ["(not yet measured on hardware — queued as the chain_probe stage)"]
+    rows = ["| op | default path | fused chain | note |", "|---|---|---|---|"]
+    ops = sorted({k.split(".")[0] for k in ch})
+    for op in ops:
+        d = ch.get(f"{op}.default_s")
+        c = ch.get(f"{op}.chain_s")
+        err = ch.get(f"{op}.chain_error")
+        note = ""
+        if err:
+            note = f"compile error: `{err[:80]}`"
+        elif d is not None and c:
+            note = f"**{d / c:.1f}×**"
+        rows.append(f"| {op} | {_f(d, 3) if d is not None else '—'} s "
+                    f"| {_f(c, 3) if c is not None else '—'} s | {note} |")
+    return rows
+
+
 GENERATORS = {"gates": gen_gates, "phases": gen_phases, "arith": gen_arith,
               "cipher": gen_cipher, "vector": gen_vector, "matmul": gen_matmul,
-              "linreg": gen_linreg}
+              "linreg": gen_linreg, "chain": gen_chain}
 
 
 def main(argv=None):
