@@ -67,12 +67,25 @@ def chain_ks_table(cloud) -> jnp.ndarray:
     directly, so rows are regrouped as (j, h-1) planes over NATIVE acc
     coefficients m (i = 0 if m==0 else N-m):
 
-        int8[t*(base-1), H, 128, 4, C]  (H = N/128 sublanes, C = pad cols)
+        int8[t*(base-1), 4, H, 128, C]  (limb axis LEADING so every in-kernel
+        slice only indexes leading axes and the tiled (sublane=128, lane=C)
+        layout never relays)
     """
     key = id(cloud.ks_table)
     hit = _CHAIN_TABLE_CACHE.get(key)
     if hit is not None:
         return hit
+    re = _chain_rows(cloud)             # [t*bm1, n_ext, 4, C]
+    TB, n_ext, _, C = re.shape
+    out = jnp.asarray(np.ascontiguousarray(
+        re.transpose(0, 2, 1, 3).reshape(TB, 4, n_ext // LANE, LANE, C)))
+    _CHAIN_TABLE_CACHE.clear()          # one cloud key at a time is typical
+    _CHAIN_TABLE_CACHE[key] = out
+    return out
+
+
+def _chain_rows(cloud) -> np.ndarray:
+    """KS limb table rows permuted to native acc order: [t*bm1, n_ext, 4, C]."""
     p: TfheParams = cloud.params
     assert p.k == 1, "chain kernel supports k=1 (the reference's only k)"
     n_ext, t, bm1 = p.n_extract, p.ks_t, p.ks_base - 1
@@ -80,26 +93,21 @@ def chain_ks_table(cloud) -> jnp.ndarray:
     tab = np.asarray(cloud.ks_table).reshape(n_ext, t, bm1, 4, C)
     m = np.arange(n_ext)
     i_of_m = np.where(m == 0, 0, n_ext - m)
-    # [n_ext(m), t, bm1, 4, C] -> [t, bm1, m, 4, C] -> [t*bm1, H, 128, 4, C]
-    re = tab[i_of_m].transpose(1, 2, 0, 3, 4).reshape(
-        t * bm1, n_ext // LANE, LANE, 4, C)
-    out = jnp.asarray(np.ascontiguousarray(re))
-    _CHAIN_TABLE_CACHE.clear()          # one cloud key at a time is typical
-    _CHAIN_TABLE_CACHE[key] = out
-    return out
+    # [n_ext(m), t, bm1, 4, C] -> [t*bm1, m, 4, C]
+    return tab[i_of_m].transpose(1, 2, 0, 3, 4).reshape(t * bm1, n_ext, 4, C)
 
 
 def lane_ks_table(cloud) -> jnp.ndarray:
-    """chain_ks_table reshaped for the LANE-layout kernel's KS epilogue
+    """The same permuted table for the LANE-layout kernel's KS epilogue
     (cmux_pallas.blind_rotate_ks_fused): int8[t*(base-1), n_ext, 4*C] with
     native coefficients along the sublane (contraction) axis."""
-    t4 = chain_ks_table(cloud)                      # [TB, H, 128, 4, C]
-    TB, H, _, _, C = t4.shape
     key = ("lane", id(cloud.ks_table))
     hit = _CHAIN_TABLE_CACHE.get(key)
     if hit is not None:
         return hit
-    out = t4.reshape(TB, H * LANE, 4 * C)
+    re = _chain_rows(cloud)                          # [TB, n_ext, 4, C]
+    TB, n_ext, _, C = re.shape
+    out = jnp.asarray(np.ascontiguousarray(re.reshape(TB, n_ext, 4 * C)))
     _CHAIN_TABLE_CACHE[key] = out
     return out
 
@@ -186,7 +194,7 @@ def _keyswitch(params: TfheParams, IMG: int, acc, tchain_ref, ks_loop: bool,
         for h in range(1, bm1 + 1):
             mask = (dig == h).astype(jnp.float32)                   # [IMG,H,128]
             for lb in range(4):
-                rhs = tchain_ref[jd * bm1 + (h - 1), :, :, lb, :] \
+                rhs = tchain_ref[jd * bm1 + (h - 1), lb] \
                     .astype(jnp.float32)                            # [H,128,C]
                 if ks_loop:
                     acc_l = r_limb[lb]
@@ -334,7 +342,7 @@ def bit_chain(spec, a: LweCiphertext, b: LweCiphertext,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, NP, H, LANE), lambda s, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, H, LANE, 4, C), lambda s, j: (0, 0, 0, 0, 0),
+            pl.BlockSpec((TB, 4, H, LANE, C), lambda s, j: (0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, IMG, C), lambda s, j: (s, 0, 0),
@@ -537,7 +545,7 @@ def div_chain(abs_a: LweCiphertext, neg_b: LweCiphertext, cloud,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, NP, H, LANE), lambda r, s, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, H, LANE, 4, C), lambda r, s, j: (0, 0, 0, 0, 0),
+            pl.BlockSpec((TB, 4, H, LANE, C), lambda r, s, j: (0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, C), lambda r, s, j: (r, 0),
