@@ -206,8 +206,18 @@ class PhaseSim:
     # --- plumbing --------------------------------------------------------
 
     def __enter__(self):
+        import os
         self._stack = contextlib.ExitStack()
         self._stack.enter_context(jax.disable_jit())
+        # the fused-kernel routes (chain VM, in-kernel KS) bypass the patched
+        # bootstrap layer entirely — force them off for the simulation
+        for env in ("TFHE_TPU_CHAIN", "TFHE_TPU_FUSEKS"):
+            saved = os.environ.get(env)
+            os.environ[env] = "0"
+            if saved is None:
+                self._stack.callback(os.environ.pop, env, None)
+            else:
+                self._stack.callback(os.environ.__setitem__, env, saved)
         for name, fake in (("bootstrap", self._fake_bootstrap),
                            ("bootstrap_woks", self._fake_bootstrap_woks),
                            ("key_switch", self._fake_key_switch)):
