@@ -42,6 +42,7 @@ SECTION_DEPS = {
     "vector64": _LINALG,
     "matmul": _LINALG,
     "chain": _ARITH,
+    "ceiling": _CORE,
     "cipher_api_16bit": _ARITH + ["tfhe_tpu/cipher.py"],
     "linreg": _LINALG + ["tfhe_tpu/apps/linreg.py"],
     "headline": _CORE,

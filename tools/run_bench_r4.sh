@@ -59,6 +59,7 @@ run_stage linreg_numerical 7200 lock python -u tools/bench_linreg.py --variant n
 # checkpoints each row as it lands)
 run_stage chain_probe      1800 lock python -u tools/bench_chain.py
 run_stage headline_fuseks  1800 nolock bash -c 'set -o pipefail; BENCH_FUSEKS_AB=1 python -u bench.py | tee /tmp/bench_headline_fuseks_r4.json'
+run_stage ceiling  9000 lock python -u tools/bench_ceiling.py
 run_stage matmul   10800 lock env BENCH_MATMUL_SIZES=2,4,8 BENCH_CANNON_MAX=8 python -u tools/bench_suite.py --exp matmul
 run_stage matmul16 14400 lock env BENCH_MATMUL_SIZES=16 BENCH_CANNON_MAX=16 python -u tools/bench_suite.py --exp matmul
 
