@@ -143,9 +143,25 @@ def gen_chain(t):
     return rows
 
 
+def gen_ceiling(t):
+    ce = t.get("ceiling")
+    if not ce:
+        return ["(batch-footprint sweep not yet run — queued as the ceiling stage)"]
+    rows = ["| lane batch | bootstraps/s | note |", "|---|---|---|"]
+    pts = sorted({k.split(".")[0] for k in ce},
+                 key=lambda p: (int(p.split("_b")[1].split("_")[0]), "fuseks" in p))
+    for p in pts:
+        thr = ce.get(f"{p}.bootstraps_per_sec")
+        err = ce.get(f"{p}.error")
+        label = p.replace("lane_b", "B=").replace("_fuseks", " + fused KS")
+        note = f"`{err[:90]}`" if err else ""
+        rows.append(f"| {label} | {_f(thr, 1) if thr else '—'} | {note} |")
+    return rows
+
+
 GENERATORS = {"gates": gen_gates, "phases": gen_phases, "arith": gen_arith,
               "cipher": gen_cipher, "vector": gen_vector, "matmul": gen_matmul,
-              "linreg": gen_linreg, "chain": gen_chain}
+              "linreg": gen_linreg, "chain": gen_chain, "ceiling": gen_ceiling}
 
 
 def main(argv=None):
