@@ -50,6 +50,13 @@ class CloudKey:
     # rows = n_extract * t * (base-1) (C-order over (i, j, h-1)) and
     # column block l holds limb l of [a[0..n-1], b, 0-pad...].
     ks_table: jnp.ndarray
+    # the same table with rows PRE-PERMUTED to native accumulator coefficient
+    # order, int8[t*(base-1), n_extract, 4*pad_cols] — consumed by the
+    # in-kernel key-switch epilogues (ops/cmux_pallas.blind_rotate_ks_fused,
+    # ops/chain_pallas). Built eagerly here because those kernels run inside
+    # user jit scopes where the cloud key is a traced pytree (a host-side
+    # permutation of a tracer is impossible at call time).
+    ks_table_perm: Optional[jnp.ndarray] = None
 
     @property
     def ks_pad_cols(self) -> int:
@@ -58,9 +65,30 @@ class CloudKey:
 
 jax.tree_util.register_dataclass(
     CloudKey,
-    data_fields=("bk_ntt", "bk_ntt_shoup", "bk_rows", "bk_rows_shoup", "ks_table"),
+    data_fields=("bk_ntt", "bk_ntt_shoup", "bk_rows", "bk_rows_shoup",
+                 "ks_table", "ks_table_perm"),
     meta_fields=("params",),
 )
+
+
+def ks_perm_rows(ks_table: np.ndarray, params: TfheParams) -> np.ndarray:
+    """Regroup the KS limb table for in-kernel key switching.
+
+    ks_table rows are (i, j, h-1) C-order over EXTRACTED coefficients i
+    (ks_to_limb_table). In-kernel consumers read the accumulator directly, so
+    rows are regrouped as (j, h-1) planes over NATIVE acc coefficients m
+    (the sample-extract index map i = 0 if m==0 else N-m, ref
+    tLweExtractLweSampleIndex, lwe.cu:40-56, folds into the table and the
+    in-kernel flip becomes an elementwise negate).
+
+    [rows, 4*C] -> [t*(base-1), n_ext, 4, C].
+    """
+    n_ext, t, bm1 = params.n_extract, params.ks_t, params.ks_base - 1
+    C = ks_table.shape[1] // 4
+    tab = ks_table.reshape(n_ext, t, bm1, 4, C)
+    m = np.arange(n_ext)
+    i_of_m = np.where(m == 0, 0, n_ext - m)
+    return tab[i_of_m].transpose(1, 2, 0, 3, 4).reshape(t * bm1, n_ext, 4, C)
 
 
 def bk_rows_layout(bk_ntt: np.ndarray) -> np.ndarray:
@@ -159,6 +187,8 @@ def cloud_from_raw(params: TfheParams, bk_raw: np.ndarray, ks_a: np.ndarray,
 
     bk_ntt, bk_shoup = bk_to_ntt_np(np.asarray(bk_raw), params)
     ks_table = ks_to_limb_table(np.asarray(ks_a), np.asarray(ks_b), params)
+    perm = ks_perm_rows(ks_table, params)              # [TB, n_ext, 4, C]
+    TB, n_ext, _, C = perm.shape
     return CloudKey(
         params=params,
         bk_ntt=jnp.asarray(bk_ntt),
@@ -166,6 +196,8 @@ def cloud_from_raw(params: TfheParams, bk_raw: np.ndarray, ks_a: np.ndarray,
         bk_rows=jnp.asarray(bk_rows_layout(bk_ntt)),
         bk_rows_shoup=jnp.asarray(bk_rows_layout(bk_shoup)),
         ks_table=jnp.asarray(ks_table),
+        ks_table_perm=jnp.asarray(
+            np.ascontiguousarray(perm.reshape(TB, n_ext, 4 * C))),
     )
 
 

@@ -86,21 +86,27 @@ def chain_ks_table(cloud) -> jnp.ndarray:
 
 def _chain_rows(cloud) -> np.ndarray:
     """KS limb table rows permuted to native acc order: [t*bm1, n_ext, 4, C]."""
+    from ..core.keys import ks_perm_rows
     p: TfheParams = cloud.params
     assert p.k == 1, "chain kernel supports k=1 (the reference's only k)"
-    n_ext, t, bm1 = p.n_extract, p.ks_t, p.ks_base - 1
-    C = cloud.ks_pad_cols
-    tab = np.asarray(cloud.ks_table).reshape(n_ext, t, bm1, 4, C)
-    m = np.arange(n_ext)
-    i_of_m = np.where(m == 0, 0, n_ext - m)
-    # [n_ext(m), t, bm1, 4, C] -> [t*bm1, m, 4, C]
-    return tab[i_of_m].transpose(1, 2, 0, 3, 4).reshape(t * bm1, n_ext, 4, C)
+    if cloud.ks_table_perm is not None and not isinstance(
+            cloud.ks_table_perm, jax.core.Tracer):
+        TB, n_ext, C4 = cloud.ks_table_perm.shape
+        return np.asarray(cloud.ks_table_perm).reshape(TB, n_ext, 4, C4 // 4)
+    return ks_perm_rows(np.asarray(cloud.ks_table), p)
 
 
 def lane_ks_table(cloud) -> jnp.ndarray:
-    """The same permuted table for the LANE-layout kernel's KS epilogue
+    """The permuted table for the LANE-layout kernel's KS epilogue
     (cmux_pallas.blind_rotate_ks_fused): int8[t*(base-1), n_ext, 4*C] with
-    native coefficients along the sublane (contraction) axis."""
+    native coefficients along the sublane (contraction) axis.
+
+    Normally just the cloud key's precomputed `ks_table_perm` field — that
+    path stays valid when the cloud key is a TRACED pytree (gate programs jit
+    over it). The host-side rebuild below only serves keys deserialized by
+    older snapshots that lack the field."""
+    if cloud.ks_table_perm is not None:
+        return cloud.ks_table_perm
     key = ("lane", id(cloud.ks_table))
     hit = _CHAIN_TABLE_CACHE.get(key)
     if hit is not None:
@@ -292,7 +298,12 @@ def bit_chain(spec, a: LweCiphertext, b: LweCiphertext,
     tuple). a, b: LweCiphertext [B, nbits] (key-switched domain); carry0:
     [B]. Returns (outs [B, nbits] — the LAST image slot's samples per stage,
     or the carries for 1-image chains — and carry_out [B]), exact per-digit
-    cv. Set TFHE_CHAIN_KS=loop for the unrolled-matmul key switch."""
+    cv. TFHE_CHAIN_KS selects the key-switch contraction: "loop" (default;
+    per-sublane-row 2-D MXU dots) or "dot" (one batched dot_general per limb
+    — Mosaic currently REJECTS it: "Not Implemented: batch dims must be
+    equal", the lhs batch axis sits at dim 1 while the rhs batch is dim 0,
+    and transposing the mask tile in-kernel is itself an unsupported
+    relayout; kept for re-probing on future toolchains)."""
     import os
     interpret = interpret or jax.default_backend() != "tpu"
     params: TfheParams = cloud.params
@@ -302,7 +313,7 @@ def bit_chain(spec, a: LweCiphertext, b: LweCiphertext,
     IMG = len(spec) * B
     H = N // LANE
     C = cloud.ks_pad_cols
-    ks_loop = os.environ.get("TFHE_CHAIN_KS", "dot") == "loop"
+    ks_loop = os.environ.get("TFHE_CHAIN_KS", "loop") != "dot"
 
     def pack(ct: LweCiphertext, lead) -> jnp.ndarray:
         """[..., n]-sample -> int32[..., C] rows (a | b | zeros)."""
@@ -508,7 +519,7 @@ def div_chain(abs_a: LweCiphertext, neg_b: LweCiphertext, cloud,
     H = N // LANE
     C = cloud.ks_pad_cols
     W = 4 * nb + 1
-    ks_loop = os.environ.get("TFHE_CHAIN_KS", "dot") == "loop"
+    ks_loop = os.environ.get("TFHE_CHAIN_KS", "loop") != "dot"
 
     def pack(ct: LweCiphertext) -> np.ndarray:
         buf = jnp.zeros(ct.batch_shape + (C,), jnp.int32)
