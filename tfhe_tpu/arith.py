@@ -74,22 +74,26 @@ def zero_like_bits(x: LweCiphertext, batch_shape) -> LweCiphertext:
 import jax
 
 
-def _latency_policy(numbers: int) -> bool:
+def _latency_policy(numbers: int, nbits: int) -> bool:
     """Serial-depth policy: parallel-prefix circuits spend ~5x the bootstraps
     of a ripple to cut the dependent-dispatch count ~3x, which only wins when
-    the batch is too small to fill a dispatch anyway (dispatch RTT dominated).
+    the batch is too small to fill a dispatch anyway (dispatch RTT dominated)
+    AND the chain is long enough for the depth saving to beat the extra
+    bootstrap volume. Round-4 hardware A/B (BENCH_TABLES add.*.ab_ripple_s /
+    ab_prefix_s, batch 1): ripple wins at 16 bits (0.179 vs 0.198 s) and 24
+    bits (0.216 vs 0.341 s); prefix wins at 32 (0.585 vs 0.704 s).
     `numbers` = how many independent integers share the batch.
     TFHE_TPU_LOOKAHEAD=0/1 forces ripple/prefix."""
     import os
     v = os.environ.get("TFHE_TPU_LOOKAHEAD", "auto")
     if v in ("0", "1"):
         return v == "1"
-    return numbers <= 4
+    return numbers <= 4 and nbits >= 32
 
 
 def _latency_bound(a: LweCiphertext) -> bool:
     nbits = a.batch_shape[-1]
-    return _latency_policy(gates._flat_batch(a) // max(nbits, 1))
+    return _latency_policy(gates._flat_batch(a) // max(nbits, 1), nbits)
 
 
 def _chain_ok(a: LweCiphertext, cloud) -> bool:
@@ -352,7 +356,7 @@ def mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     ja, ib, cols = _mul_triangle(nbits)
     lhs = lwe_take(a, ja, axis=-1)                                  # [..., P]
     rhs = lwe_take(b, ib, axis=-1)                                  # [..., P]
-    sep = _septet_enabled()
+    sep = _septet_enabled(nbits)
     pp = gates.gate2("AND", lhs, rhs, cloud,
                      mu=gates.MU16 if sep else gates.MU)            # [..., P]
     return _wallace_sum_bits(pp, cols, nbits, cloud,
@@ -384,7 +388,7 @@ def dot(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     ja, ib, cols = _mul_triangle(nbits)
     lhs = lwe_take(a, ja, axis=-1)                     # [..., K, P]
     rhs = lwe_take(b, ib, axis=-1)
-    sep = _septet_enabled()
+    sep = _septet_enabled(nbits)
     pp = gates.gate2("AND", lhs, rhs, cloud,
                      mu=gates.MU16 if sep else gates.MU)            # [..., K, P]
     lead = a.batch_shape[:-2]
@@ -431,11 +435,20 @@ def _dadda_plan(cc: np.ndarray, nbits: int, target: int):
             np.array(zi, np.int64), np.array(keep, np.int64))
 
 
-def _septet_enabled() -> bool:
-    """7:3 compressor levels on (default). TFHE_TPU_SEPTET=0 falls back to
-    the pure full-adder Dadda reduction (for A/B benchmarking)."""
+def _septet_enabled(nbits: int) -> bool:
+    """7:3 compressor levels, width-aware. Round-4 hardware A/B
+    (BENCH_TABLES mul.*.naive_s vs naive_fa_s, same process/keys): septets
+    LOSE at 16 bits (0.749 vs 0.489 s — too few columns to amortize the
+    recode levels) and WIN at 32 (0.914 vs 1.217 s), so the default enables
+    them only for wide reductions. This also keeps the narrow widths on the
+    ±1/8 full-adder domain, whose noise margin is the scheme's own
+    (NOISE.md: z >= 12.3 vs the septet domain's 5.7/6.4).
+    TFHE_TPU_SEPTET=0/1 forces off/on at every width."""
     import os
-    return os.environ.get("TFHE_TPU_SEPTET", "1") != "0"
+    v = os.environ.get("TFHE_TPU_SEPTET", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return nbits >= 32
 
 
 def _wallace_sum_bits(cur: LweCiphertext, cc: np.ndarray, nbits: int,
@@ -446,10 +459,11 @@ def _wallace_sum_bits(cur: LweCiphertext, cc: np.ndarray, nbits: int,
     amp: static int[M] in {8, 16} — the amplitude class of each bit (±1/8
     standard gates, ±1/16 compressor-internal; None = all 8). Dispatches to
     the 7:3 septet compressor (default) or the full-adder Dadda tree."""
-    if _septet_enabled():
+    # bits already in the ±1/16 compressor encoding force the septet engine
+    # (the FA tree only understands ±1/8); otherwise the width policy picks
+    has16 = amp is not None and (np.asarray(amp) == 16).any()
+    if has16 or _septet_enabled(nbits):
         return _wallace_sum_bits_septet(cur, cc, nbits, cloud, amp)
-    assert amp is None or (np.asarray(amp) == 8).all(), \
-        "FA fallback path requires ±1/8 bits (TFHE_TPU_SEPTET=0)"
     return _wallace_sum_bits_fa(cur, cc, nbits, cloud)
 
 
@@ -608,7 +622,7 @@ def _wallace_sum_bits_septet(cur: LweCiphertext, cc: np.ndarray, nbits: int,
     Bl = 1
     for s in lead:
         Bl *= s
-    if _latency_policy(Bl):
+    if _latency_policy(Bl, nbits):
         # latency-bound: recode both rows to ±1/8 in ONE bootstrap batch and
         # use the log-depth prefix adder (depth 1+log2(nbits)+2 vs nbits)
         both = lwe_concat([row0, row1], axis=-1)

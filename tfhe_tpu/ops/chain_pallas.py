@@ -180,23 +180,25 @@ def _keyswitch(params: TfheParams, IMG: int, acc, tchain_ref, ks_loop: bool,
     t, bm1 = params.ks_t, params.ks_base - 1
     C = tchain_ref.shape[-1]
     acc0 = acc[:IMG]                                                # [IMG, H, 128]
-    # b_ext: channel-1 coefficient 0 of each image
-    b_ext = jnp.sum(
+    # b_ext: channel-1 coefficient 0 of each image. Two single-axis reductions
+    # (never a rank-1 intermediate: Mosaic's layout inference aborts on
+    # reshapes of 1-D vectors — layout.h `arr.size() >= layout_rank` check).
+    b_ext = jnp.sum(jnp.sum(
         jnp.where((_iota3((IMG, H, LANE), 1) == 0)
                   & (_iota3((IMG, H, LANE), 2) == 0), acc[IMG:], 0),
-        axis=(1, 2), keepdims=False)[:, None]                       # [IMG, 1]
+        axis=2), axis=1, keepdims=True)                             # [IMG, 1]
     # native-order extract: x[m] = acc0[0] if m==0 else -acc0[m]
     m0 = (_iota3(acc0.shape, 1) == 0) & (_iota3(acc0.shape, 2) == 0)
     x = jnp.where(m0, acc0, -acc0)
     u = (jax.lax.bitcast_convert_type(x, jnp.uint32)
          + jnp.uint32(params.ks_prec_offset))
     r_limb = [jnp.zeros((IMG, C), jnp.float32) for _ in range(4)]
-    nnz = jnp.zeros((IMG, 1, 1), jnp.int32)
+    nnz = jnp.zeros((IMG, 1), jnp.int32)
     for jd in range(t):
         dig = (u >> jnp.uint32(32 - (jd + 1) * params.ks_basebit)) \
             & jnp.uint32(params.ks_base - 1)
-        nnz = nnz + jnp.sum((dig != 0).astype(jnp.int32), axis=(1, 2),
-                            keepdims=True)
+        nnz = nnz + jnp.sum(jnp.sum((dig != 0).astype(jnp.int32), axis=2),
+                            axis=1, keepdims=True)
         for h in range(1, bm1 + 1):
             mask = (dig == h).astype(jnp.float32)                   # [IMG,H,128]
             for lb in range(4):
@@ -223,7 +225,7 @@ def _keyswitch(params: TfheParams, IMG: int, acc, tchain_ref, ks_loop: bool,
     if negate_from is not None:
         out = jnp.where((_iota3(r.shape, 0) >= negate_from) & (lane_c <= n),
                         -out, out)
-    return jnp.where(lane_c == C - 1, nnz[:, :, 0], out)
+    return jnp.where(lane_c == C - 1, nnz, out)
 
 
 # Static per-chain-type "microcode": each stage bootstraps len(imgs) images
@@ -422,6 +424,10 @@ def _div_kernel(params: TfheParams, nb: int, ks_loop: bool,
     @pl.when((r == 0) & (s == 0) & (j == 0))
     def _():
         regs_scr[...] = regs0_ref[...]
+        # the output block is the whole [nb, C] array (a (1, C) row block
+        # would violate Mosaic's sublane-divisibility rule); rows land by
+        # masked read-modify-write at each round's end
+        out_ref[...] = jnp.zeros_like(out_ref)
 
     @pl.when((s == 0) & (j == 0))
     def _():
@@ -496,7 +502,9 @@ def _div_kernel(params: TfheParams, nb: int, ks_loop: bool,
             # nnz lane positive for exact cv outside
             negrow = regs_scr[2 * nb - 1:2 * nb]
             lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-            out_ref[...] = jnp.where(lane1 <= n, -negrow, negrow)
+            row = jnp.where(lane1 <= n, -negrow, negrow)            # [1, C]
+            io = jax.lax.broadcasted_iota(jnp.int32, (nb, C), 0)
+            out_ref[...] = jnp.where(io == r, row, out_ref[...])
 
 
 def div_chain(abs_a: LweCiphertext, neg_b: LweCiphertext, cloud,
@@ -559,7 +567,7 @@ def div_chain(abs_a: LweCiphertext, neg_b: LweCiphertext, cloud,
             pl.BlockSpec((TB, 4, H, LANE, C), lambda r, s, j: (0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, C), lambda r, s, j: (r, 0),
+        out_specs=pl.BlockSpec((nb, C), lambda r, s, j: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, C), jnp.int32),
         scratch_shapes=[pltpu.VMEM((W, C), jnp.int32),

@@ -495,7 +495,10 @@ def blind_rotate_ks_fused(acc_t: jnp.ndarray, bara: jnp.ndarray,
                    jax.ShapeDtypeStruct((2, B), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((k + 1, N, B), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024,
+            # The 48 MB KS limb table lives whole in VMEM on top of the
+            # B=256 working set: 119.4 MB total, over the default 112 MB
+            # scoped window but inside the v5e's 128 MiB physical VMEM.
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
     )(bara[:, None, :], bk_rows, bksh_rows, tw, acc_t, tks_lane)

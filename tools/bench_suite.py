@@ -314,11 +314,17 @@ def bench_mul(sk, report):
                     "ref_naive_s": rn, "ref_karatsuba_s": rk,
                     "speedup_naive": round(rn / dtn, 2) if rn else None}
         if nb in (16, 32):
-            # A/B: the 7:3 septet compressor vs the pure full-adder tree
+            # A/B: the 7:3 septet compressor vs the pure full-adder tree,
+            # both FORCED (naive_s above is whatever the width-aware default
+            # dispatch picks at this commit)
             with _env("TFHE_TPU_SEPTET", "0"):
                 dtf, outf = _timed(lambda x, y: arith.mul(x, y, sk.cloud), ca, cb)
             assert int(arith.decrypt_int(sk, outf)) == _signed(a * b, nb)
             rows[nb]["naive_fa_s"] = round(dtf, 3)
+            with _env("TFHE_TPU_SEPTET", "1"):
+                dts, outs = _timed(lambda x, y: arith.mul(x, y, sk.cloud), ca, cb)
+            assert int(arith.decrypt_int(sk, outs)) == _signed(a * b, nb)
+            rows[nb]["naive_septet_s"] = round(dts, 3)
         print(f"  mul {nb}-bit: naive {dtn:7.3f}s (ref {rn}s)  karatsuba {dtk:7.3f}s (ref {rk}s)", flush=True)
     report["mul"] = rows
 

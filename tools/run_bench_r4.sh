@@ -47,21 +47,25 @@ run_stage() {  # run_stage <name> <timeout_s> <lock|nolock> <cmd...>
   fi
 }
 
+# Value order under a finite hardware window (the round-3 lesson, twice):
+# the never-measured round-4 levers + never-filled published cells run FIRST;
+# the hour-scale refreshes (matmul16, linreg numerical) run LAST so a tunnel
+# death or round end can only cost the most expensive refresh, not the levers.
 run_stage headline 2400 nolock bash -c 'set -o pipefail; python -u bench.py | tee /tmp/bench_headline_r4.json'
 run_stage gates    3600 lock python -u tools/bench_suite.py --exp gates phases compound
 run_stage add_mul  5400 lock python -u tools/bench_suite.py --exp add mul
-run_stage vector   5400 lock python -u tools/bench_suite.py --exp vector
-run_stage cipher   2400 lock python -u tools/bench_cipher.py
-run_stage linreg_binary    3600 lock python -u tools/bench_linreg.py --variant binary
-run_stage linreg_numerical 7200 lock python -u tools/bench_linreg.py --variant numerical
 # probe stages for the round-4 kernels: generous for first compiles but
 # bounded so a stalled axon AOT can't eat hours (both re-entrant; bench_chain
 # checkpoints each row as it lands)
 run_stage chain_probe      1800 lock python -u tools/bench_chain.py
+run_stage cipher   2400 lock python -u tools/bench_cipher.py
 run_stage headline_fuseks  1800 nolock bash -c 'set -o pipefail; BENCH_FUSEKS_AB=1 python -u bench.py | tee /tmp/bench_headline_fuseks_r4.json'
 run_stage ceiling  9000 lock python -u tools/bench_ceiling.py
+run_stage vector   5400 lock python -u tools/bench_suite.py --exp vector
 run_stage matmul   10800 lock env BENCH_MATMUL_SIZES=2,4,8 BENCH_CANNON_MAX=8 python -u tools/bench_suite.py --exp matmul
+run_stage linreg_binary    3600 lock python -u tools/bench_linreg.py --variant binary
 run_stage matmul16 14400 lock env BENCH_MATMUL_SIZES=16 BENCH_CANNON_MAX=16 python -u tools/bench_suite.py --exp matmul
+run_stage linreg_numerical 7200 lock python -u tools/bench_linreg.py --variant numerical
 
 echo "=== published-cell coverage + provenance audit + RESULTS regeneration ==="
 python tools/check_baseline_coverage.py
