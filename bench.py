@@ -200,13 +200,15 @@ def main():
 
     print(f"# {batch} bootstraps in {dt*1000:.1f} ms -> {thr:.1f} bootstraps/s", file=sys.stderr)
 
-    # A/B: the same timed loop with the in-kernel key switch enabled (the
-    # headline `value` stays the default path; a hardware win here flips the
-    # default in a follow-up commit, keeping `value` = shipped code)
-    thr_fused = None
+    # A/B: the same timed loop with the in-kernel key switch forced OFF.
+    # Since r5 the fused path IS the shipped default (config.FUSEKS_AUTO,
+    # flipped on the measured win 2173.1 vs 2162.5 boots/s), so the headline
+    # `value` above is the fused number and this arm keeps the split-path
+    # regression record.
+    thr_split = None
     if jax.default_backend() != "cpu" and isinstance(fused_ks_verified, bool) \
             and fused_ks_verified:
-        os.environ["TFHE_TPU_FUSEKS"] = "1"
+        os.environ["TFHE_TPU_FUSEKS"] = "0"
         try:
             out2 = run(ca, cb)
             out2 = run(out2, cb)
@@ -215,10 +217,10 @@ def main():
             for _ in range(iters):
                 out2 = run(out2, cb)
             np.asarray(out2.b)
-            thr_fused = batch / ((time.time() - t0) / iters)
+            thr_split = batch / ((time.time() - t0) / iters)
             assert np.array_equal(tt.decrypt_bits(sk, out2), want)
-            print(f"# fused-KS throughput: {thr_fused:.1f} bootstraps/s",
-                  file=sys.stderr)
+            print(f"# split-KS (fused off) throughput: {thr_split:.1f} "
+                  "bootstraps/s", file=sys.stderr)
         finally:
             os.environ.pop("TFHE_TPU_FUSEKS", None)
 
@@ -230,7 +232,9 @@ def main():
         "pallas_verified": pallas_verified,
         "pallas_verified_lane": pallas_verified_lane,
         "fused_ks_verified": fused_ks_verified,
-        "fused_ks_per_sec": round(thr_fused, 2) if thr_fused else None,
+        # the default (headline) path is the fused kernel since r5
+        "fused_ks_per_sec": round(thr, 2) if jax.default_backend() != "cpu" else None,
+        "split_ks_per_sec": round(thr_split, 2) if thr_split else None,
         "rtt_s": round(rtt_s, 4),
     }))
 

@@ -73,9 +73,12 @@ def test_septet_vs_fa_paths_agree(toy_keys):
     b = np.array([2, 7, 5, 6], np.int64)
     ca = arith.encrypt_int(sk, a, 4, seed=21)
     cb = arith.encrypt_int(sk, b, 4, seed=22)
-    got_sep = arith.decrypt_int(sk, arith.mul(ca, cb, sk.cloud))
-    os.environ["TFHE_TPU_SEPTET"] = "0"
+    # force the septet leg explicitly: the width-aware default picks the FA
+    # path below 32 bits, which would silently compare FA against FA
+    os.environ["TFHE_TPU_SEPTET"] = "1"
     try:
+        got_sep = arith.decrypt_int(sk, arith.mul(ca, cb, sk.cloud))
+        os.environ["TFHE_TPU_SEPTET"] = "0"
         got_fa = arith.decrypt_int(sk, arith.mul(ca, cb, sk.cloud))
     finally:
         del os.environ["TFHE_TPU_SEPTET"]

@@ -71,6 +71,43 @@ def test_classic_circuits_worst_case_budget(monkeypatch):
     assert rep["sum_pfail"] <= rep["images_live"] * GATE_BUDGET, rep
 
 
+def test_tracked_model_demotes_septets(monkeypatch):
+    """VERDICT r4 #6: the planner CONSUMES the noise accounting. With the
+    worst-case-constant "tracked" model active, max_live16 resolves to 4,
+    _septet_enabled demotes the reduction to the FA domain, and the
+    resulting circuit certifies z >= 5 under the SAME tracked accounting —
+    the z = 4.1 gap is closed by the planner, not a footnote."""
+    monkeypatch.setenv("TFHE_TPU_NOISE_MODEL", "tracked")
+    monkeypatch.setenv("TFHE_TPU_SEPTET", "1")   # demotion beats the force flag
+    assert ps.max_live16(PARAMS_110) == 4
+    rep = _run(_mul16, ps.sample_var_tracked(PARAMS_110))
+    assert rep["min_z"] >= 5.0, rep
+    assert rep["sum_pfail"] <= rep["images_live"] * GATE_BUDGET, rep
+
+
+def test_tracked_model_caps_forced_16_domain(monkeypatch):
+    """Bits already encoded at ±1/16 (has16) must run the septet ENGINE, but
+    under the tracked model its level planner caps group liveness at 4 so no
+    image exceeds the certificate: min tracked z >= 5 on a 9-high column."""
+    monkeypatch.setenv("TFHE_TPU_NOISE_MODEL", "tracked")
+    from tfhe_tpu import gates
+
+    def build(sim, rng):
+        bits = rng.randint(0, 2, size=9).astype(np.int32)
+        c = sim.encrypt_bits(bits)
+        # recode fresh bits into the ±1/16 domain like compressor internals
+        rec = gates.bootstrap_images(c, np.full(9, gates.MU16, np.int32),
+                                     sim.cloud)
+        out = arith._wallace_sum_bits(rec, np.zeros(9, np.int64), 4,
+                                      sim.cloud, amp=np.full(9, 16))
+        got = int(sim.decrypt_int(out, signed=False))
+        assert got == int(bits.sum()), "exact-DAG decrypt mismatch"
+        return out
+
+    rep = _run(build, ps.sample_var_tracked(PARAMS_110))
+    assert rep["min_z"] >= 5.0, rep
+
+
 def test_lattice_unit_extraction():
     ph = np.array([3 << 28, -(1 << 28), 5 << 29, 1 << 30, -(7 << 30)], np.int64)
     u = ps._unit_t32(ph)

@@ -75,63 +75,15 @@ import jax
 
 
 def _latency_policy(numbers: int, nbits: int) -> bool:
-    """Serial-depth policy: parallel-prefix circuits spend ~5x the bootstraps
-    of a ripple to cut the dependent-dispatch count ~3x, which only wins when
-    the batch is too small to fill a dispatch anyway (dispatch RTT dominated)
-    AND the chain is long enough for the depth saving to beat the extra
-    bootstrap volume. Round-4 hardware A/B (BENCH_TABLES add.*.ab_ripple_s /
-    ab_prefix_s, batch 1): ripple wins at 16 bits (0.179 vs 0.198 s) and 24
-    bits (0.216 vs 0.341 s); prefix wins at 32 (0.585 vs 0.704 s).
-    `numbers` = how many independent integers share the batch.
-    TFHE_TPU_LOOKAHEAD=0/1 forces ripple/prefix."""
-    import os
-    v = os.environ.get("TFHE_TPU_LOOKAHEAD", "auto")
-    if v in ("0", "1"):
-        return v == "1"
-    return numbers <= 4 and nbits >= 32
+    """Prefix-vs-ripple adder dispatch; policy + measured A/B live in
+    config.lookahead_enabled. `numbers` = independent integers in the batch."""
+    from .config import lookahead_enabled
+    return lookahead_enabled(numbers, nbits)
 
 
 def _latency_bound(a: LweCiphertext) -> bool:
     nbits = a.batch_shape[-1]
     return _latency_policy(gates._flat_batch(a) // max(nbits, 1), nbits)
-
-
-def _chain_ok(a: LweCiphertext, cloud) -> bool:
-    """Route serial adder chains through the single-launch fused chain kernel
-    (ops/chain_pallas.py: the whole nbits-stage ripple — blind rotates, key
-    switches and inter-stage affines — in ONE device program).
-    TFHE_TPU_CHAIN=1 enables, 0 disables; 'auto' is currently OFF pending
-    hardware validation of the kernel (flip after the round-4 bench)."""
-    import os
-    v = os.environ.get("TFHE_TPU_CHAIN", "auto")
-    if v != "1":
-        return False
-    p = cloud.params
-    B = gates._flat_batch(a) // max(a.batch_shape[-1], 1)
-    return p.k == 1 and p.N % 128 == 0 and p.N >= 256 and 2 * B <= 64
-
-
-def _chain_run(spec, a: LweCiphertext, b: LweCiphertext, cloud,
-               carry_one: bool = False, negate_b: bool = False):
-    """Flatten leading batch dims, run one fused bit-chain kernel, restore
-    shapes. Returns (per-stage outs [..., nbits], final carry [...])."""
-    from .ops.chain_pallas import bit_chain
-    nbits = a.batch_shape[-1]
-    lead = a.batch_shape[:-1]
-    B = gates._flat_batch(a) // nbits
-    af, bf = a.reshape((B, nbits)), b.reshape((B, nbits))
-    if negate_b:
-        bf = gates.NOT(bf)
-    cin = gates.CONSTANT(
-        jnp.full((B,), 1 if carry_one else 0, jnp.int32), a.n, (B,))
-    outs, carry = bit_chain(spec, af, bf, cin, cloud)
-    return outs.reshape(lead + (nbits,)), carry.reshape(lead)
-
-
-def _chain_add(a: LweCiphertext, b: LweCiphertext, cloud,
-               carry_one: bool, negate_b: bool) -> LweCiphertext:
-    from .ops.chain_pallas import CHAIN_FA
-    return _chain_run(CHAIN_FA, a, b, cloud, carry_one, negate_b)[0]
 
 
 def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
@@ -141,11 +93,7 @@ def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     + carry images) and one key switch — vs the reference's 5 gates / 3
     sequential bootstraps per bit. Result has the same nbits (overflow
     dropped, matching the reference). Latency-bound small batches take the
-    Kogge-Stone prefix adder instead (add_fast), or — when enabled — the
-    whole-chain fused kernel (_chain_add: ONE device program for all nbits
-    stages)."""
-    if _chain_ok(a, cloud):
-        return _chain_add(a, b, cloud, carry_one=False, negate_b=False)
+    Kogge-Stone prefix adder instead (add_fast)."""
     if _latency_bound(a):
         return add_fast(a, b, cloud)
     nbits = a.batch_shape[-1]
@@ -259,9 +207,6 @@ def twos_complement(a: LweCiphertext, cloud) -> LweCiphertext:
     signal, one compound (XOR, OR) bootstrap per bit; latency-bound batches
     use the log-depth prefix-OR scan instead."""
     nbits = a.batch_shape[-1]
-    if _chain_ok(a, cloud):
-        from .ops.chain_pallas import CHAIN_TWOS
-        return _chain_run(CHAIN_TWOS, a, a, cloud)[0]
     if _latency_bound(a):
         return gates.XOR(a, _or_scan_excl(a, cloud), cloud)
     reach = zero_like_bits(a, a.batch_shape[:-1])
@@ -281,8 +226,6 @@ def sub(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     with the carry-in folded into g_0 (a|~b), so a-b costs the same depth
     as a+b."""
     nbits = a.batch_shape[-1]
-    if _chain_ok(a, cloud):
-        return _chain_add(a, b, cloud, carry_one=True, negate_b=True)
     if _latency_bound(a):
         g, p = gates.gate2_pair("ANDYN", "XNOR", a, b, a, b, cloud)
         g0 = gates.ORYN(a[..., :1], b[..., :1], cloud)     # carry-in = 1
@@ -356,7 +299,7 @@ def mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     ja, ib, cols = _mul_triangle(nbits)
     lhs = lwe_take(a, ja, axis=-1)                                  # [..., P]
     rhs = lwe_take(b, ib, axis=-1)                                  # [..., P]
-    sep = _septet_enabled(nbits)
+    sep = _septet_enabled(nbits, cloud.params)
     pp = gates.gate2("AND", lhs, rhs, cloud,
                      mu=gates.MU16 if sep else gates.MU)            # [..., P]
     return _wallace_sum_bits(pp, cols, nbits, cloud,
@@ -388,7 +331,7 @@ def dot(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     ja, ib, cols = _mul_triangle(nbits)
     lhs = lwe_take(a, ja, axis=-1)                     # [..., K, P]
     rhs = lwe_take(b, ib, axis=-1)
-    sep = _septet_enabled(nbits)
+    sep = _septet_enabled(nbits, cloud.params)
     pp = gates.gate2("AND", lhs, rhs, cloud,
                      mu=gates.MU16 if sep else gates.MU)            # [..., K, P]
     lead = a.batch_shape[:-2]
@@ -435,20 +378,26 @@ def _dadda_plan(cc: np.ndarray, nbits: int, target: int):
             np.array(zi, np.int64), np.array(keep, np.int64))
 
 
-def _septet_enabled(nbits: int) -> bool:
-    """7:3 compressor levels, width-aware. Round-4 hardware A/B
-    (BENCH_TABLES mul.*.naive_s vs naive_fa_s, same process/keys): septets
-    LOSE at 16 bits (0.749 vs 0.489 s — too few columns to amortize the
-    recode levels) and WIN at 32 (0.914 vs 1.217 s), so the default enables
-    them only for wide reductions. This also keeps the narrow widths on the
-    ±1/8 full-adder domain, whose noise margin is the scheme's own
-    (NOISE.md: z >= 12.3 vs the septet domain's 5.7/6.4).
-    TFHE_TPU_SEPTET=0/1 forces off/on at every width."""
-    import os
-    v = os.environ.get("TFHE_TPU_SEPTET", "auto")
-    if v in ("0", "1"):
-        return v == "1"
-    return nbits >= 32
+def _septet_enabled(nbits: int, params: TfheParams | None = None) -> bool:
+    """7:3 compressor levels, width-aware; policy + measured A/B in
+    config.septet_enabled.
+
+    Noise-model demotion (beats even a forced TFHE_TPU_SEPTET=1): when the
+    active noise-accounting model (config.noise_model) certifies fewer than
+    5 live ±1/16 inputs per image at z >= 5 (phasesim.max_live16 — e.g. the
+    worst-case-constant "tracked" model, where full septets sit at z = 4.1),
+    the whole reduction is demoted to the ±1/8 full-adder domain (z >= 12.3).
+
+    NOTE: _wallace_sum_bits overrides a forced-off whenever the input already
+    holds ±1/16-encoded bits (has16) — the FA tree cannot consume MU16 bits,
+    so the septet ENGINE runs there regardless; its level planner still caps
+    group liveness at max_live16, so the certificate holds either way."""
+    if params is not None:
+        from .utils.phasesim import max_live16
+        if max_live16(params) < 5:
+            return False
+    from .config import septet_enabled
+    return septet_enabled(nbits)
 
 
 def _wallace_sum_bits(cur: LweCiphertext, cc: np.ndarray, nbits: int,
@@ -458,11 +407,14 @@ def _wallace_sum_bits(cur: LweCiphertext, cc: np.ndarray, nbits: int,
     cur: [..., M] encrypted bits; cc: static int[M] column of each bit;
     amp: static int[M] in {8, 16} — the amplitude class of each bit (±1/8
     standard gates, ±1/16 compressor-internal; None = all 8). Dispatches to
-    the 7:3 septet compressor (default) or the full-adder Dadda tree."""
-    # bits already in the ±1/16 compressor encoding force the septet engine
-    # (the FA tree only understands ±1/8); otherwise the width policy picks
+    the 7:3 septet compressor or the full-adder Dadda tree per the width +
+    noise-model policy (_septet_enabled)."""
+    # bits already in the ±1/16 compressor encoding force the septet ENGINE
+    # (the FA tree only understands ±1/8) even under TFHE_TPU_SEPTET=0 or a
+    # demoting noise model; the engine's level planner still caps group
+    # liveness at phasesim.max_live16, so the z >= 5 certificate holds.
     has16 = amp is not None and (np.asarray(amp) == 16).any()
-    if has16 or _septet_enabled(nbits):
+    if has16 or _septet_enabled(nbits, cloud.params):
         return _wallace_sum_bits_septet(cur, cc, nbits, cloud, amp)
     return _wallace_sum_bits_fa(cur, cc, nbits, cloud)
 
@@ -479,7 +431,8 @@ def _lwe_slot_sum(ct: LweCiphertext) -> LweCiphertext:
                          ct.cv.sum(axis=-1))
 
 
-def _compress_level_plan(cc: np.ndarray, amp: np.ndarray, nbits: int):
+def _compress_level_plan(cc: np.ndarray, amp: np.ndarray, nbits: int,
+                         max_live: int = 7):
     """Greedy static schedule of one septet-compressor level.
 
     Per column: bits at ±1/16 go 7 at a time into septets (>=5 justifies a
@@ -490,14 +443,24 @@ def _compress_level_plan(cc: np.ndarray, amp: np.ndarray, nbits: int):
     mix the rules can't group (e.g. two ±1/16 + two ±1/8) converts its ±1/8
     bits (half-adder for a pair, recode bootstrap for a single) so the next
     level can combine. Returns (sept [G,7], fa16 [G,3], fa8 [G,3], rec8 [R],
-    keep [K]) index lists; -1 marks a trivial-zero pad slot."""
+    keep [K]) index lists; -1 marks a trivial-zero pad slot.
+
+    max_live caps the LIVE inputs of every ±1/16 group so each image's
+    z-score under the active noise model stays >= 5 (phasesim.max_live16);
+    when max_live < 5, septet grouping is non-viable (a padded group needs
+    >= 5 live bits for its 3 bootstraps to pay) and ±1/16 bits reduce via
+    3-way fa16 only (z = 6.2 even under the tracked model)."""
+    assert max_live >= 3, (
+        f"no safe ±1/16 grouping exists at max_live={max_live}; "
+        "the active noise model cannot certify the compressor domain")
     sept, fa16, fa8, rec8, keep = [], [], [], [], []
+    gsz = min(7, max_live)
     for c in range(nbits):
         i16 = list(np.flatnonzero((cc == c) & (amp == 16)))
         i8 = list(np.flatnonzero((cc == c) & (amp == 8)))
         grouped = False
-        while len(i16) >= 5:
-            g, i16 = i16[:7], i16[7:]
+        while max_live >= 5 and len(i16) >= 5:
+            g, i16 = i16[:gsz], i16[gsz:]
             sept.append(g + [-1] * (7 - len(g)))
             grouped = True
         if len(i16) >= 3:
@@ -528,10 +491,12 @@ def _wallace_sum_bits_septet(cur: LweCiphertext, cc: np.ndarray, nbits: int,
     nbits-1 never become images (mod-2^nbits truncation for free); a septet
     whose upper digits all fall off the top compresses 7 bits to 1 with a
     single parity bootstrap."""
+    from .utils.phasesim import max_live16
+    cap = max_live16(cloud.params)
     cc = np.asarray(cc)
     amp = (np.full(len(cc), 8) if amp is None else np.asarray(amp)).copy()
     while len(cc) and np.bincount(cc, minlength=nbits).max() > 2:
-        sept, fa16, fa8, rec8, keep = _compress_level_plan(cc, amp, nbits)
+        sept, fa16, fa8, rec8, keep = _compress_level_plan(cc, amp, nbits, cap)
         M = len(cc)
         lead = cur.batch_shape[:-1]
         curz16 = lwe_concat(
@@ -844,10 +809,7 @@ def compare_bit(result, ai, bi, cloud):
 def minimum(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Minimum of two (positive) numbers (ref minimum, Cipher.cpp:313-333)."""
     nbits = a.batch_shape[-1]
-    if _chain_ok(a, cloud):
-        from .ops.chain_pallas import CHAIN_CMP
-        cmp = _chain_run(CHAIN_CMP, a, b, cloud)[1]        # unsigned a > b
-    elif _latency_bound(a):
+    if _latency_bound(a):
         g, p = gates.gate2_pair("ANDYN", "XNOR", a, b, a, b, cloud)
         cmp = _cmp_carry_tree(g, p, cloud)                 # unsigned a > b
     else:
@@ -867,10 +829,7 @@ def gt(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     Latency-bound batches reduce the carry with the pairwise (g,p) combine
     tree (log2(nbits) fused levels) instead of the linear MAJ chain."""
     nbits = a.batch_shape[-1]
-    if _chain_ok(a, cloud):
-        from .ops.chain_pallas import CHAIN_CMP
-        cin = _chain_run(CHAIN_CMP, a, b, cloud)[1]
-    elif _latency_bound(a):
+    if _latency_bound(a):
         g, p = gates.gate2_pair("ANDYN", "XNOR", a, b, a, b, cloud)
         cin = _cmp_carry_tree(g, p, cloud)
     else:
@@ -912,10 +871,7 @@ def absolute(a: LweCiphertext, cloud) -> LweCiphertext:
 def add_sign(x: LweCiphertext, sign, cloud) -> LweCiphertext:
     """Conditionally negate x when sign==1 (ref addSign, Cipher.cpp:560-577)."""
     nbits = x.batch_shape[-1]
-    if _chain_ok(x, cloud):
-        from .ops.chain_pallas import CHAIN_TWOS
-        res = _chain_run(CHAIN_TWOS, x, x, cloud)[0]
-    elif _latency_bound(x):
+    if _latency_bound(x):
         res = gates.XOR(x, _or_scan_excl(x, cloud), cloud)
     else:
         reach = zero_like_bits(x, x.batch_shape[:-1])
@@ -940,13 +896,6 @@ def div(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     # subtraction's complement every round, Cipher.cpp:526-558; it is loop
     # invariant — hoisting halves the per-iteration bootstrap count)
     neg_b = twos_complement(abs_b, cloud)
-    if _chain_ok(a, cloud) and a.batch_shape == (nbits,):
-        # the ENTIRE restoring loop — nbits rounds of shift + ripple add +
-        # restoring MUX — as one device program (ops/chain_pallas.div_chain)
-        from .ops.chain_pallas import div_chain
-        quotient = div_chain(abs_a, neg_b, cloud)
-        sign = gates.XOR(a[..., nbits - 1], b[..., nbits - 1], cloud)
-        return add_sign(quotient, sign, cloud)
     # PA register: [remainder(nbits) | quotient-in-progress], LSB half = abs_a
     pa_lo = abs_a                                  # bits [0, nbits)
     pa_hi = zero_like_bits(a, a.batch_shape)       # bits [nbits, 2nbits)

@@ -1,0 +1,175 @@
+"""Central routing configuration — the ONE module that reads ``os.environ``.
+
+Every dispatch policy in the framework (which kernel, which circuit family,
+which key-switch implementation) resolves through this module, so a policy
+can never silently disagree between call sites or processes: the defaults
+live here as code, the env vars are *overrides only*, and tests/simulators
+override programmatically via :func:`overrides`.
+
+The reference has no configuration system at all — constants are compiled in
+(``gpuParallel/boot-gates.cu:2120-2124``) and experiments are chosen by
+(un)commenting lines (``gpuParallel/main.cu:2771-2787``). Here every routing
+default is tied to the hardware A/B that justified it.
+
+Measured-defaults table (TPU v5lite, BENCH_TABLES.json cells; "r4"/"r5" =
+the round the A/B was recorded):
+
+| flag                | default (auto)               | measured justification                                                              |
+|---------------------|------------------------------|-------------------------------------------------------------------------------------|
+| TFHE_TPU_PALLAS     | on when backend is TPU       | headline: fused Pallas 2,182 boots/s vs pure-XLA scan ~8x slower (BENCH_r04)         |
+| TFHE_TPU_LOOKAHEAD  | prefix adder iff nbits>=32   | add.16/24/32: ripple 0.179/0.216/0.704 s vs prefix 0.198/0.341/0.585 s (r4 ab_* )    |
+| TFHE_TPU_SEPTET     | 7:3 compressor iff nbits>=32 | mul.16: FA 0.489 s beats septet 0.749 s; mul.32: septet 0.914 beats FA 1.217 (r4)    |
+| TFHE_TPU_FUSEKS     | on (FUSEKS_AUTO)             | r5 A/B: fused 2173.1 vs split 2162.5 boots/s, differential-verified identical        |
+| TFHE_PACKED_UNROLL  | 1                            | unroll=2: +15% on isolated tiny gates, sharply slower in multi-kernel programs (r3)  |
+| REF_DIR             | /root/reference/gpuParallel  | location of the reference checkout for the differential oracle build                 |
+
+Removed flags: TFHE_TPU_CHAIN / TFHE_CHAIN_KS routed the microcoded chain VM
+(a whole serial circuit in one Pallas launch). The r5 hardware A/B rejected
+it decisively — add16 3.83 s vs 0.136 s default, div16 104.6 s vs 6.16 s
+(BENCH_TABLES `chain` section, kept as the record) — the in-kernel fori-loop
+key switch serializes t*(base-1) masked MXU dots per stage, where the
+production path's one-hot int8 matmul amortizes them across the batch. The
+kernel and its routing were deleted per the round-4 verdict.
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+
+# ---------------------------------------------------------------- raw access
+
+_OVERRIDES: dict = {}
+
+
+def flag(name: str, default: str = "auto") -> str:
+    """Resolve a flag: programmatic override > environment > default."""
+    if name in _OVERRIDES:
+        return _OVERRIDES[name]
+    return os.environ.get(name, default)
+
+
+@contextlib.contextmanager
+def overrides(**kv):
+    """Programmatic flag overrides (tests / the phase simulator).
+
+    ``overrides(TFHE_TPU_FUSEKS="0")`` wins over the environment for the
+    duration of the context. A value of None removes an active override.
+    """
+    saved = {}
+    for k, v in kv.items():
+        saved[k] = _OVERRIDES.get(k, _MISSING)
+        if v is None:
+            _OVERRIDES.pop(k, None)
+        else:
+            _OVERRIDES[k] = str(v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is _MISSING:
+                _OVERRIDES.pop(k, None)
+            else:
+                _OVERRIDES[k] = old
+
+
+_MISSING = object()
+
+
+# ------------------------------------------------------------- resolved policies
+
+def pallas_enabled() -> bool:
+    """Fused Pallas kernels on TPU; pure-XLA path elsewhere (CPU tests).
+    TFHE_TPU_PALLAS=0/1 forces."""
+    import jax
+    v = flag("TFHE_TPU_PALLAS")
+    if v in ("0", "false"):
+        return False
+    if v in ("1", "true"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def lookahead_enabled(numbers: int, nbits: int) -> bool:
+    """Parallel-prefix (Kogge-Stone) adder vs ripple.
+
+    Prefix spends ~5x the bootstraps of a ripple to cut the dependent-dispatch
+    count ~3x, which only wins when the batch is too small to fill a dispatch
+    anyway (RTT-dominated) AND the chain is long enough. Round-4 hardware A/B
+    (BENCH_TABLES add.*.ab_ripple_s / ab_prefix_s, batch 1): ripple wins at
+    16 bits (0.179 vs 0.198 s) and 24 (0.216 vs 0.341); prefix wins at 32
+    (0.585 vs 0.704). TFHE_TPU_LOOKAHEAD=0/1 forces ripple/prefix."""
+    v = flag("TFHE_TPU_LOOKAHEAD")
+    if v in ("0", "1"):
+        return v == "1"
+    return numbers <= 4 and nbits >= 32
+
+
+def septet_enabled(nbits: int) -> bool:
+    """7:3 compressor levels in carry-save reductions, width-aware.
+
+    Round-4 hardware A/B (BENCH_TABLES mul.*.naive_s vs naive_fa_s, same
+    process/keys): septets LOSE at 16 bits (0.749 vs 0.489 s — too few
+    columns to amortize the recode levels) and WIN at 32 (0.914 vs 1.217 s).
+    Narrow widths therefore stay on the ±1/8 full-adder domain, whose noise
+    margin is the scheme's own (NOISE.md: z >= 12.3 vs septet 5.7/6.4).
+    TFHE_TPU_SEPTET=0/1 forces off/on at every width — with one exception:
+    bits already encoded at ±1/16 force the septet engine regardless, because
+    the FA tree cannot consume MU16 bits (see arith._wallace_sum_bits)."""
+    v = flag("TFHE_TPU_SEPTET")
+    if v in ("0", "1"):
+        return v == "1"
+    return nbits >= 32
+
+
+# Auto default for the in-kernel key-switch lever, flipped ON by the r5
+# hardware A/B (VERDICT r4 item 2): fused 2173.1 bootstraps/s vs split
+# 2162.5, on-device differential identical (BENCH_r05), and the [B, 24576]
+# int8 one-hot operand never exists. Assumes >= 128 MiB physical VMEM
+# (v4/v5e-class): the kernel holds the 48 MB KS limb table + the B=256
+# working set in a 127 MiB scoped window (ops/cmux_pallas.py
+# blind_rotate_ks_fused), hardware-validated at B=256 in the same A/B.
+FUSEKS_AUTO = True
+
+
+def fuseks_enabled() -> bool:
+    """In-kernel key switch on the lane-layout fused kernel: the whole gate
+    pipeline after the affine is ONE kernel and the [B, 24576] one-hot
+    operand never exists. TFHE_TPU_FUSEKS=0/1 forces (=1 off-TPU runs the
+    kernel in interpret mode — test use only); auto is TPU-only so CPU test
+    runs stay on the fast XLA split path."""
+    v = flag("TFHE_TPU_FUSEKS")
+    if v in ("0", "1"):
+        return v == "1"
+    if not FUSEKS_AUTO:
+        return False
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+def noise_model() -> str:
+    """Noise-accounting model the compressor planner certifies against
+    (NOISE.md §2): "average" (default — the physically realized per-sample
+    variance, rigorous for uniform ciphertexts and confirmed by hardware to
+    9%), "measured" (the v5e-calibrated constant), or "tracked" (the
+    worst-case-digit constants the runtime cv bookkeeping carries — the
+    loose bound the reference also uses but never audits). The planner caps
+    every ±1/16 image's live-input count so its z-score under the ACTIVE
+    model stays >= 5 (phasesim.max_live16); under "tracked" that demotes
+    7-way septets (z = 4.1) to the full-adder domain (z >= 12.3).
+    TFHE_TPU_NOISE_MODEL overrides."""
+    v = flag("TFHE_TPU_NOISE_MODEL", "average")
+    if v not in ("average", "measured", "tracked"):
+        raise ValueError(f"TFHE_TPU_NOISE_MODEL={v!r}: want average|measured|tracked")
+    return v
+
+
+def packed_unroll() -> int:
+    """Grid-unroll factor for the packed small-batch kernel. Callers must
+    read this ONCE at import (jit caches by shape, so a trace-time read
+    would silently keep the first compile's value)."""
+    return int(flag("TFHE_PACKED_UNROLL", "1"))
+
+
+def ref_dir() -> str:
+    """Location of the reference checkout (differential-oracle build)."""
+    return flag("REF_DIR", "/root/reference/gpuParallel")

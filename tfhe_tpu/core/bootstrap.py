@@ -102,14 +102,9 @@ def extern_product_ntt(dec: jnp.ndarray, bk_j: jnp.ndarray, bk_sh_j: jnp.ndarray
 
 def use_pallas() -> bool:
     """Fused Pallas kernels on TPU; pure-XLA path elsewhere (tests on CPU).
-    Override with TFHE_TPU_PALLAS=0/1."""
-    import os
-    v = os.environ.get("TFHE_TPU_PALLAS", "auto")
-    if v in ("0", "false"):
-        return False
-    if v in ("1", "true"):
-        return True
-    return jax.default_backend() == "tpu"
+    Policy + override (TFHE_TPU_PALLAS) in config.pallas_enabled."""
+    from ..config import pallas_enabled
+    return pallas_enabled()
 
 
 def blind_rotate(acc: jnp.ndarray, bara: jnp.ndarray, bk_ntt: jnp.ndarray,
@@ -331,16 +326,15 @@ def bootstrap_woks(x: LweCiphertext, mu, cloud) -> tuple:
 def use_fused_ks() -> bool:
     """In-kernel key switch on the lane-layout fused kernel: the whole gate
     pipeline after the affine is ONE kernel, and the [B, 24576] one-hot
-    operand never exists. TFHE_TPU_FUSEKS=1 enables (A/B in the bench
-    queue); 'auto' stays off until hardware-validated."""
-    import os
-    return os.environ.get("TFHE_TPU_FUSEKS", "auto") == "1"
+    operand never exists. Policy + override (TFHE_TPU_FUSEKS) in
+    config.fuseks_enabled; the r5 headline A/B decides the auto default."""
+    from ..config import fuseks_enabled
+    return fuseks_enabled()
 
 
 def _bootstrap_fused_ks(x: LweCiphertext, mu, cloud) -> LweCiphertext:
     """bootstrap() through cmux_pallas.blind_rotate_ks_fused (lane layout)."""
     from ..ops import cmux_pallas
-    from ..ops.chain_pallas import lane_ks_table
 
     params: TfheParams = cloud.params
     n = params.n
@@ -348,7 +342,7 @@ def _bootstrap_fused_ks(x: LweCiphertext, mu, cloud) -> LweCiphertext:
     interpret = jax.default_backend() != "tpu"
     r, ext = cmux_pallas.blind_rotate_ks_fused(
         acc.transpose(1, 2, 0), bara.T, cloud.bk_rows, cloud.bk_rows_shoup,
-        lane_ks_table(cloud), params, interpret=interpret)
+        cmux_pallas.lane_ks_table(cloud), params, interpret=interpret)
     a_out = -r[:, :n]
     b_out = ext[0] - r[:, n]
     cv = (jnp.float32(_bootstrap_variance(params))

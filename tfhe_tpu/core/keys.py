@@ -52,10 +52,10 @@ class CloudKey:
     ks_table: jnp.ndarray
     # the same table with rows PRE-PERMUTED to native accumulator coefficient
     # order, int8[t*(base-1), n_extract, 4*pad_cols] — consumed by the
-    # in-kernel key-switch epilogues (ops/cmux_pallas.blind_rotate_ks_fused,
-    # ops/chain_pallas). Built eagerly here because those kernels run inside
-    # user jit scopes where the cloud key is a traced pytree (a host-side
-    # permutation of a tracer is impossible at call time).
+    # in-kernel key-switch epilogue (ops/cmux_pallas.blind_rotate_ks_fused).
+    # Built eagerly here because that kernel runs inside user jit scopes
+    # where the cloud key is a traced pytree (a host-side permutation of a
+    # tracer is impossible at call time).
     ks_table_perm: Optional[jnp.ndarray] = None
 
     @property

@@ -100,7 +100,7 @@ def cannon_matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     a_sk = roll_rows(a, lambda i: i)
     b_sk = roll_cols(b, lambda j: j)
     ja, ib, cols = arith._mul_triangle(nbits)
-    sep = arith._septet_enabled(nbits)
+    sep = arith._septet_enabled(nbits, cloud.params)
     mu_pp = gates.MU16 if sep else gates.MU
     pools = []
     for _ in range(D):

@@ -401,9 +401,9 @@ def _scan_ks_kernel(params: TfheParams, last_j: int, bara_ref, bk_ref,
     """_scan_kernel + an in-kernel key-switch epilogue at the last grid step.
 
     tks_ref: int8[t*(base-1), N, 4*C] — the KS limb table with rows
-    pre-permuted to NATIVE accumulator coefficient order (see
-    chain_pallas.chain_ks_table: the sample-extract flip folds into the
-    table, so extraction is an elementwise negate). Outputs: r_ref
+    pre-permuted to NATIVE accumulator coefficient order (lane_ks_table:
+    the sample-extract flip folds into the table, so extraction is an
+    elementwise negate). Outputs: r_ref
     int32[B, C] (the limb-recombined gather sums) and ext_ref int32[2, B]
     (row 0 = b_ext, row 1 = the per-sample nonzero-digit count for exact cv).
     Replaces the XLA extract + one-hot matmul key switch
@@ -456,6 +456,32 @@ def _scan_ks_kernel(params: TfheParams, last_j: int, bara_ref, bk_ref,
         ext_ref[...] = jnp.concatenate([new[1, 0:1, :], nnz], axis=0)
 
 
+_LANE_TABLE_CACHE: dict = {}
+
+
+def lane_ks_table(cloud) -> jnp.ndarray:
+    """The permuted KS limb table for blind_rotate_ks_fused's in-kernel
+    key-switch epilogue: int8[t*(base-1), n_ext, 4*C] with native accumulator
+    coefficients along the sublane (contraction) axis.
+
+    Normally just the cloud key's precomputed `ks_table_perm` field — that
+    path stays valid when the cloud key is a TRACED pytree (gate programs jit
+    over it). The host-side rebuild below only serves keys deserialized by
+    older snapshots that lack the field."""
+    if cloud.ks_table_perm is not None:
+        return cloud.ks_table_perm
+    key = id(cloud.ks_table)
+    hit = _LANE_TABLE_CACHE.get(key)
+    if hit is None:
+        from ..core.keys import ks_perm_rows
+        re = ks_perm_rows(np.asarray(cloud.ks_table), cloud.params)
+        TB, n_ext, _, C = re.shape
+        hit = jnp.asarray(np.ascontiguousarray(re.reshape(TB, n_ext, 4 * C)))
+        _LANE_TABLE_CACHE.clear()        # one cloud key at a time is typical
+        _LANE_TABLE_CACHE[key] = hit
+    return hit
+
+
 def blind_rotate_ks_fused(acc_t: jnp.ndarray, bara: jnp.ndarray,
                           bk_rows: jnp.ndarray, bksh_rows: jnp.ndarray,
                           tks_lane: jnp.ndarray, params: TfheParams,
@@ -463,7 +489,7 @@ def blind_rotate_ks_fused(acc_t: jnp.ndarray, bara: jnp.ndarray,
     """Blind rotate + sample extract + key switch as ONE kernel (lane layout).
 
     acc_t: int32[k+1, N, B]; bara: int32[n, B]; tks_lane: the permuted KS
-    limb table int8[t*(base-1), N, 4*C] (chain_pallas.lane_ks_table).
+    limb table int8[t*(base-1), N, 4*C] (lane_ks_table).
     Returns (r int32[B, C], ext int32[2, B]): the caller finishes with
     a = -r[:, :n_lwe], b = ext[0] - r[:, n_lwe], cv from ext[1]."""
     N, kpl, k = params.N, params.kpl, params.k

@@ -35,7 +35,8 @@ from .. import ntt
 # trace-time env read would silently keep the first compile's value).
 # unroll=2 speeds isolated tiny-batch gates ~15% but sharply slows programs
 # containing several kernels (the fused adder stages); default 1.
-PACKED_UNROLL = int(os.environ.get("TFHE_PACKED_UNROLL", "1"))
+from ..config import packed_unroll as _packed_unroll
+PACKED_UNROLL = _packed_unroll()
 from ..params import TfheParams
 from .cmux_pallas import _shoup, _addm, _subm, _crt, _ntt_forward_np
 

@@ -38,8 +38,8 @@ def available() -> bool:
     """True if the reference checkout + toolchain exist to build the oracle.
     Honors the same REF_DIR override native/Makefile uses, so a relocated
     reference checkout still runs the oracle attestation tests."""
-    ref_dir = os.environ.get("REF_DIR", "/root/reference/gpuParallel")
-    return os.path.isdir(ref_dir) or os.path.exists(_SO)
+    from .config import ref_dir as _ref_dir
+    return os.path.isdir(_ref_dir()) or os.path.exists(_SO)
 
 
 def build(force: bool = False) -> str:

@@ -105,6 +105,40 @@ def sample_var_average(params: TfheParams) -> float:
     return var_br + nnz * p.ks_stdev ** 2 + var_ks_rounding(p)
 
 
+def active_sample_var(params: TfheParams) -> float:
+    """Per-sample post-gate variance under the ACTIVE noise-accounting model
+    (config.noise_model). The "measured" constant is only calibrated at
+    PARAMS_110; other parameter sets fall back to the average model."""
+    from ..config import noise_model
+    m = noise_model()
+    if m == "tracked":
+        return sample_var_tracked(params)
+    if m == "measured" and (params.n, params.N, params.ks_stdev) == (
+            500, 1024, TfheParams().ks_stdev):
+        return SAMPLE_VAR_MEASURED_110
+    return sample_var_average(params)
+
+
+def max_live16(params: TfheParams, z_min: float = 5.0) -> int:
+    """Cap on LIVE ±1/16 inputs a single compressor image may sum, such that
+    the image's failure z-score under the active noise model stays >= z_min:
+
+        z = (1/16) / sqrt(m * var_sample + var_modswitch)  >=  z_min
+
+    This is how the planner CONSUMES the tracked cv machinery (VERDICT r4
+    item 6): under the default average/measured accounting the cap resolves
+    to 7 (full septets, z = 6.4/5.7 — NOISE.md §3), while under the
+    worst-case-constant "tracked" accounting it resolves to 4, which makes
+    7-way septet grouping non-viable and demotes the whole reduction to the
+    full-adder domain (z >= 12.3). Capped at 7 (the engine's widest group)."""
+    var = active_sample_var(params)
+    if var <= 0.0:
+        return 7
+    u = 1.0 / 16.0
+    m = int(((u / z_min) ** 2 - var_modswitch(params)) / var)
+    return max(0, min(7, m))
+
+
 # Hardware-measured per-sample phase-error variance at PARAMS_110
 # (tools/noise_stats.py --septet, v5e round 3: the 7-way affine of
 # post-bootstrap ±1/16 samples measured sigma = 0.171 of the 1/16 margin
@@ -206,18 +240,12 @@ class PhaseSim:
     # --- plumbing --------------------------------------------------------
 
     def __enter__(self):
-        import os
+        from ..config import overrides
         self._stack = contextlib.ExitStack()
         self._stack.enter_context(jax.disable_jit())
-        # the fused-kernel routes (chain VM, in-kernel KS) bypass the patched
-        # bootstrap layer entirely — force them off for the simulation
-        for env in ("TFHE_TPU_CHAIN", "TFHE_TPU_FUSEKS"):
-            saved = os.environ.get(env)
-            os.environ[env] = "0"
-            if saved is None:
-                self._stack.callback(os.environ.pop, env, None)
-            else:
-                self._stack.callback(os.environ.__setitem__, env, saved)
+        # the in-kernel-KS route bypasses the patched bootstrap layer's
+        # key_switch split — force it off for the simulation
+        self._stack.enter_context(overrides(TFHE_TPU_FUSEKS="0"))
         for name, fake in (("bootstrap", self._fake_bootstrap),
                            ("bootstrap_woks", self._fake_bootstrap_woks),
                            ("key_switch", self._fake_key_switch)):

@@ -313,10 +313,11 @@ def bench_mul(sk, report):
         rows[nb] = {"naive_s": round(dtn, 3), "karatsuba_s": round(dtk, 3),
                     "ref_naive_s": rn, "ref_karatsuba_s": rk,
                     "speedup_naive": round(rn / dtn, 2) if rn else None}
-        if nb in (16, 32):
+        if nb in (16, 24, 32):
             # A/B: the 7:3 septet compressor vs the pure full-adder tree,
             # both FORCED (naive_s above is whatever the width-aware default
-            # dispatch picks at this commit)
+            # dispatch picks at this commit). 24 included so the mid-width
+            # default rests on a measurement (ADVICE r4).
             with _env("TFHE_TPU_SEPTET", "0"):
                 dtf, outf = _timed(lambda x, y: arith.mul(x, y, sk.cloud), ca, cb)
             assert int(arith.decrypt_int(sk, outf)) == _signed(a * b, nb)

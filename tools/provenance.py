@@ -23,17 +23,19 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Source files each bench section's measured circuit runs through. A section
 # is STALE if its stamp commit does not contain the last commit touching its
 # dependencies (or if it has no stamp at all / was stamped from a dirty tree).
-# File-precise within ops/: the default gate pipeline rides cmux_pallas(.py,
-# _packed.py); the env-gated chain kernels (ops/chain_pallas.py) only enter
-# the `chain` section's circuits, so fixing them must not stale gate cells.
+# The whole gate pipeline (including the fused-KS epilogue, default-on since
+# r5) rides cmux_pallas(.py, _packed.py) + core/ + config.py — all in _CORE,
+# so an edit to ANY production kernel or routing policy stales every cell.
+# The historical `chain` section records the DELETED chain-VM kernel's losing
+# r5 A/B (config.py docstring tells the story); it has no live deps and is
+# exempt from staleness.
 _CORE = ["tfhe_tpu/gates.py", "tfhe_tpu/core",
          "tfhe_tpu/ops/cmux_pallas.py", "tfhe_tpu/ops/cmux_pallas_packed.py",
-         "tfhe_tpu/ops/__init__.py",
+         "tfhe_tpu/ops/__init__.py", "tfhe_tpu/config.py",
          "tfhe_tpu/ntt.py", "tfhe_tpu/numeric.py", "tfhe_tpu/params.py",
          "tfhe_tpu/__init__.py"]
 _ARITH = _CORE + ["tfhe_tpu/arith.py"]
 _LINALG = _ARITH + ["tfhe_tpu/linalg.py"]
-_CHAIN = _ARITH + ["tfhe_tpu/ops/chain_pallas.py"]
 
 SECTION_DEPS = {
     "gate_batch": _CORE,
@@ -47,9 +49,9 @@ SECTION_DEPS = {
     "vector_mul_32bit": _LINALG,
     "vector64": _LINALG,
     "matmul": _LINALG,
-    "chain": _CHAIN,
     "ceiling": _CORE,
     "cipher_api_16bit": _ARITH + ["tfhe_tpu/cipher.py"],
+    "multichip_hw": _ARITH + ["tfhe_tpu/parallel"],
     "linreg": _LINALG + ["tfhe_tpu/apps/linreg.py"],
     "headline": _CORE,
 }

@@ -126,8 +126,15 @@ def gen_linreg(t):
 def gen_chain(t):
     ch = t.get("chain")
     if not ch:
-        return ["(not yet measured on hardware — queued as the chain_probe stage)"]
-    rows = ["| op | default path | fused chain | note |", "|---|---|---|---|"]
+        return ["(no record)"]
+    rows = ["The microcoded chain VM (a whole serial circuit in one Pallas "
+            "launch) was REMOVED after this r5 hardware A/B rejected it: the "
+            "in-kernel fori-loop key switch serializes t·(base−1) masked MXU "
+            "dots per stage, where the production path's one-hot int8 matmul "
+            "amortizes them across the batch. The rows below are the loss "
+            "record (tfhe_tpu/config.py tells the story).",
+            "",
+            "| op | default path | fused chain | note |", "|---|---|---|---|"]
     ops = sorted({k.split(".")[0] for k in ch})
     for op in ops:
         d = ch.get(f"{op}.default_s")
