@@ -245,3 +245,21 @@ def test_septet_mul_under_real_noise():
     cb = arith.encrypt_int(sk, b, 16, seed=74)
     out = arith.decrypt_int(sk, arith.mul(ca, cb, sk.cloud), signed=False)
     np.testing.assert_array_equal(out, a * b)
+
+
+def test_whole_circuit_jit_matches_eager(toy_keys):
+    """The whole-circuit jit path (arith.circuit, TPU default) must compute
+    exactly what the eager dispatch computes. CPU-compile cost bounds this to
+    ONE small circuit; the TPU bench queue exercises the full surface."""
+    import jax
+    from tfhe_tpu import config
+    sk = toy_keys
+    a = np.array([5, 9], np.int64)
+    b = np.array([3, 6], np.int64)
+    ca = arith.encrypt_int(sk, a, 4, seed=31)
+    cb = arith.encrypt_int(sk, b, 4, seed=32)
+    eager = arith.decrypt_int(sk, arith.add(ca, cb, sk.cloud), signed=False)
+    with config.overrides(TFHE_TPU_CIRCUIT_JIT="1"):
+        jitted = arith.decrypt_int(sk, arith.add(ca, cb, sk.cloud), signed=False)
+    np.testing.assert_array_equal(jitted, eager)
+    np.testing.assert_array_equal(jitted, (a + b) % 16)

@@ -69,10 +69,53 @@ def zero_like_bits(x: LweCiphertext, batch_shape) -> LweCiphertext:
     return gates.CONSTANT(jnp.zeros(batch_shape, jnp.int32), x.n, batch_shape)
 
 
-# --------------------------------------------------------------- adders
+# ------------------------------------------------------- whole-circuit jit
+
+import functools
 
 import jax
 
+_CIRCUIT_JITS: dict = {}
+
+
+def circuit(fn=None, *, static_argnums=()):
+    """Whole-circuit jit: the ENTIRE decorated circuit — every gate batch,
+    kernel launch and inter-stage affine — becomes ONE XLA program.
+
+    Serial-circuit latency is dominated by per-program glue, ~12 ms/stage of
+    dispatch + output relayout + re-entry around a ~3.5 ms kernel (round-3
+    measurement). Inside one program the kernels pipeline on-device with no
+    host round-trips: r5 hardware A/B at PARAMS_110 batch 1 — add16 0.328 s
+    eager -> 0.051 s (6.4x), div16 0.83 s vs 6.16 s recorded in r4 (7.4x).
+    The deleted chain VM chased exactly this with a hand-microcoded Pallas
+    kernel and lost (BENCH_TABLES `chain`); XLA program fusion wins it.
+
+    The jit cache is keyed by (function, config.policy_fingerprint()) so a
+    routing-flag flip (the A/B benches mutate flags between calls) retraces
+    instead of reusing the stale route; jax.jit adds the shape/dtype keying.
+    Off by default on CPU backends (config.circuit_jit_enabled): the test
+    suite's per-shape compile would dwarf its eager run. Calls with kwargs
+    fall back to the eager path (internal call sites are positional)."""
+
+    def deco(f):
+        @functools.wraps(f)
+        def wrapper(*args, **kwargs):
+            from .config import circuit_jit_enabled, policy_fingerprint
+            if kwargs or not circuit_jit_enabled():
+                return f(*args, **kwargs)
+            key = (f, policy_fingerprint())
+            j = _CIRCUIT_JITS.get(key)
+            if j is None:
+                j = jax.jit(f, static_argnums=static_argnums)
+                _CIRCUIT_JITS[key] = j
+            return j(*args)
+        wrapper.__wrapped__ = f
+        return wrapper
+
+    return deco(fn) if fn is not None else deco
+
+
+# --------------------------------------------------------------- adders
 
 def _latency_policy(numbers: int, nbits: int) -> bool:
     """Prefix-vs-ripple adder dispatch; policy + measured A/B live in
@@ -86,6 +129,7 @@ def _latency_bound(a: LweCiphertext) -> bool:
     return _latency_policy(gates._flat_batch(a) // max(nbits, 1), nbits)
 
 
+@circuit
 def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Bitwise ripple-carry adder, the reference's fastest (GPU_1)
     (taskLevelParallelAdd_bitwise, main.cu:821-890), rebuilt on the 2-bootstrap
@@ -107,6 +151,7 @@ def add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return lwe_stack(sums, axis=-1)
 
 
+@circuit
 def add_fast(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Kogge-Stone parallel-prefix adder: log2(nbits)+2 batched stages
     instead of nbits dependent full-adder stages.
@@ -180,6 +225,7 @@ def _gpun_stage_jit(result, tempb, cloud):
     return xor_out, lwe_concat([zero, and_out[..., :-1]], axis=-1)
 
 
+@circuit
 def add_numberwise(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Number-wise carry-save adder (GPU_n, taskLevelParallelAdd main.cu:619-652):
     nbits iterations of one compound ANDXOR bootstrap over all bits, each
@@ -202,6 +248,7 @@ def add_numberwise(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return result
 
 
+@circuit
 def twos_complement(a: LweCiphertext, cloud) -> LweCiphertext:
     """-a (ref twosComplement, Cipher.cpp:300-311): scan with a reach-one
     signal, one compound (XOR, OR) bootstrap per bit; latency-bound batches
@@ -217,6 +264,7 @@ def twos_complement(a: LweCiphertext, cloud) -> LweCiphertext:
     return lwe_stack(outs, axis=-1)
 
 
+@circuit
 def sub(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """a - b (ref Cipher.cpp:342-345 computes a + twos_complement(b); here
     the identity a - b = a + not(b) + 1 folds the complement into the ripple
@@ -280,6 +328,7 @@ def right_shift_arith(a: LweCiphertext, k: int, cloud=None) -> LweCiphertext:
 
 # --------------------------------------------------------------- multiplier
 
+@circuit
 def mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Shift-and-add multiplication, nbits-bit truncated result
     (ref multiplyLweSamples, main.cu:1483-1579):
@@ -317,6 +366,7 @@ def _mul_triangle(nbits: int):
             np.array([i + j for (i, j) in pairs]))
 
 
+@circuit
 def dot(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Fused inner product along axis -2: sum_k a[..., k, :] * b[..., k, :]
     mod 2^nbits. All K products' triangle partial-product ANDs run as ONE
@@ -714,6 +764,7 @@ def _tree_sum_rows(rows: LweCiphertext, add_fn, cloud) -> LweCiphertext:
     return rows[..., 0, :]
 
 
+@circuit(static_argnums=(1,))
 def mul_plain(a: LweCiphertext, value: int, cloud) -> LweCiphertext:
     """a * public integer constant, mod 2^nbits. Where the reference would
     multiply by a plaintext (e.g. the public row count n in the linreg normal
@@ -733,6 +784,7 @@ def mul_plain(a: LweCiphertext, value: int, cloud) -> LweCiphertext:
     return _wallace_sum_bits(bits, cols, nbits, cloud)
 
 
+@circuit
 def mul_mux(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """MUX-based shift-and-add multiplier — the reference CPU framework's
     alternative `mul` (ref mulBinary path inside Cipher::mul,
@@ -750,6 +802,7 @@ def mul_mux(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return _wallace_sum_bits(ppm, cols, nbits, cloud)
 
 
+@circuit(static_argnums=(3,))
 def mul_full(a: LweCiphertext, b: LweCiphertext, cloud, out_bits: int) -> LweCiphertext:
     """Shift-and-add multiply with an explicit output width (zero-extends
     inputs; used by Karatsuba for full-width half-products)."""
@@ -762,6 +815,7 @@ def mul_full(a: LweCiphertext, b: LweCiphertext, cloud, out_bits: int) -> LweCip
     return mul(a, b, cloud)
 
 
+@circuit
 def mul_karatsuba(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Karatsuba multiplication (ref karatMasterSuba, main.cu:1867-2089;
     cpuParallel OMP-task variant cloud.cpp:77-131; paper section V-B2).
@@ -806,6 +860,7 @@ def compare_bit(result, ai, bi, cloud):
     return gates.MAJ(ai, gates.NOT(bi), result, cloud)
 
 
+@circuit
 def minimum(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Minimum of two (positive) numbers (ref minimum, Cipher.cpp:313-333)."""
     nbits = a.batch_shape[-1]
@@ -821,6 +876,7 @@ def minimum(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return gates.MUX(cmps, b, a, cloud)
 
 
+@circuit
 def gt(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Signed a > b -> 1-bit ciphertext (ref Cipher::operator>,
     Cipher.cpp:597-608, whose stage a ^ ((a^cin) & (b^cin)) needs 4 gates).
@@ -839,11 +895,13 @@ def gt(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return gates.XOR3(a[..., nbits - 1], b[..., nbits - 1], cin, cloud)
 
 
+@circuit
 def le(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """a <= b (ref Cipher::operator<=, Cipher.cpp:610-614)."""
     return gates.NOT(gt(a, b, cloud))
 
 
+@circuit
 def eq(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """a == b (ref Cipher::operator==, Cipher.cpp:633-644), with a log-depth
     OR tree instead of the reference's sequential OR chain."""
@@ -859,6 +917,7 @@ def eq(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
 
 # --------------------------------------------------------------- signed ops
 
+@circuit
 def absolute(a: LweCiphertext, cloud) -> LweCiphertext:
     """|a| (ref absolute, Cipher.cpp:483-505): (a + sign_mask) ^ sign_mask."""
     nbits = a.batch_shape[-1]
@@ -868,6 +927,7 @@ def absolute(a: LweCiphertext, cloud) -> LweCiphertext:
     return gates.XOR(res, mask, cloud)
 
 
+@circuit
 def add_sign(x: LweCiphertext, sign, cloud) -> LweCiphertext:
     """Conditionally negate x when sign==1 (ref addSign, Cipher.cpp:560-577)."""
     nbits = x.batch_shape[-1]
@@ -886,6 +946,7 @@ def add_sign(x: LweCiphertext, sign, cloud) -> LweCiphertext:
     return gates.MUX(signs, res, x, cloud)
 
 
+@circuit
 def div(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Signed division via restoring division on absolutes
     (ref operator/ + divInternal, Cipher.cpp:508-558)."""

@@ -146,6 +146,38 @@ def fuseks_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def circuit_jit_enabled() -> bool:
+    """Whole-circuit jit (arith.circuit): trace an ENTIRE integer circuit —
+    every gate batch, kernel launch and inter-stage affine — into ONE XLA
+    program, so the per-program glue (dispatch, output relayout, re-entry)
+    that dominates serial-circuit latency disappears and the kernels pipeline
+    on-device with no host round-trips.
+
+    r5 hardware A/B (TPU v5lite, PARAMS_110, batch 1): add16 0.328 s eager ->
+    0.051 s jitted (6.4x); div16 0.83 s vs the 6.16 s recorded in r4 (7.4x,
+    vs the 2.5 s round-3 target). This is the same goal the deleted chain VM
+    chased with a hand-microcoded Pallas kernel — XLA program fusion gets
+    there without one.
+
+    Auto = TPU backend only: on CPU (the test suite) the per-shape XLA
+    compile of a many-hundred-kernel program would dwarf the eager run.
+    TFHE_TPU_CIRCUIT_JIT=0/1 forces."""
+    v = flag("TFHE_TPU_CIRCUIT_JIT")
+    if v in ("0", "1"):
+        return v == "1"
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+def policy_fingerprint() -> tuple:
+    """Every flag that changes a circuit's TRACE structure, used as part of
+    the whole-circuit jit cache key so a runtime flag flip (the A/B benches
+    do this) retraces instead of silently reusing the old route."""
+    return (flag("TFHE_TPU_PALLAS"), flag("TFHE_TPU_LOOKAHEAD"),
+            flag("TFHE_TPU_SEPTET"), flag("TFHE_TPU_FUSEKS"),
+            flag("TFHE_TPU_NOISE_MODEL", "average"))
+
+
 def noise_model() -> str:
     """Noise-accounting model the compressor planner certifies against
     (NOISE.md §2): "average" (default — the physically realized per-sample

@@ -26,6 +26,7 @@ def vector_mul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return arith.mul(a, b, cloud)
 
 
+@arith.circuit
 def vector_sum(v: LweCiphertext, cloud) -> LweCiphertext:
     """Sum of a vector of numbers (ref BOOTS_Add_vector, main.cu:1033-1136),
     via the carry-save 3:2 reduction (arith._csa_reduce_rows — same bootstrap
@@ -39,6 +40,7 @@ def matrix_add(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return arith.add(a, b, cloud)
 
 
+@arith.circuit
 def matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Matrix multiply: ALL r*c2*c element products' partial-product ANDs as
     ONE bootstrap batch, then ONE fused carry-save contraction per output
@@ -58,6 +60,7 @@ def matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     return arith.dot(a_exp, b_exp, cloud)         # fused contraction over K
 
 
+@arith.circuit
 def cannon_matmul(a: LweCiphertext, b: LweCiphertext, cloud) -> LweCiphertext:
     """Cannon's algorithm over the element grid (ref BOOTS_CannonsAlgo,
     main.cu:2590-2644 with leftRotate/upRotate :2531-2557): pre-skew, then D

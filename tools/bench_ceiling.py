@@ -26,11 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
 
 OUT = os.path.join(ROOT, "BENCH_TABLES.json")
-SWEEP = (256, 320, 384, 448, 512)
+SWEEP = (256, 288, 320, 384, 448, 512)
 POINT_TIMEOUT_S = 1500   # keygen ~80 s + first-compile headroom per point
 
 
-def run_point(B: int, fuseks: bool) -> None:
+def run_point(B: int, splitks: bool) -> None:
     """Child: measure chained-AND throughput at lane batch B; print one JSON line."""
     import numpy as np
     import jax
@@ -43,8 +43,13 @@ def run_point(B: int, fuseks: bool) -> None:
 
     gates.GATE_CHUNK = B
     bs.LANE_MAX_BATCH = B
-    if fuseks:
-        os.environ["TFHE_TPU_FUSEKS"] = "1"
+    if splitks:
+        os.environ["TFHE_TPU_FUSEKS"] = "0"
+    elif B > 256:
+        # the fused kernel's KS table (48 MB) + a B>256 working set overruns
+        # the 127 MiB VMEM window — sweep the split path above 256 so the
+        # accumulator-footprint cliff is measured on the path that fits
+        os.environ["TFHE_TPU_FUSEKS"] = "0"
 
     sk = tt.keygen(tt.PARAMS_110, seed=(314, 1592, 657))
     rng = np.random.RandomState(0)
@@ -66,7 +71,8 @@ def run_point(B: int, fuseks: bool) -> None:
     np.asarray(out.b)
     dt = (time.time() - t0) / iters
     assert np.array_equal(tt.decrypt_bits(sk, out), bits_a & bits_b)
-    print(json.dumps({"B": B, "fuseks": fuseks, "s_per_batch": round(dt, 5),
+    print(json.dumps({"B": B, "fuseks": os.environ.get("TFHE_TPU_FUSEKS", "auto"),
+                      "s_per_batch": round(dt, 5),
                       "bootstraps_per_sec": round(B / dt, 2)}))
 
 
@@ -86,10 +92,10 @@ def _persist(rows: dict) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--one", type=int, help="child mode: measure one B point")
-    ap.add_argument("--fuseks", action="store_true")
+    ap.add_argument("--splitks", action="store_true")
     args = ap.parse_args()
     if args.one:
-        run_point(args.one, args.fuseks)
+        run_point(args.one, args.splitks)
         return
 
     rows = {}
@@ -117,24 +123,24 @@ def main() -> None:
             print(f"B={B} TIMED OUT", flush=True)
         _persist(rows)
 
-    # fused-KS A/B at the winning batch (the other half of item 8: remove the
-    # separate KS program so the post-affine pipeline is one kernel)
+    # split-KS A/B at the winning batch (fused is the r5 default: this arm
+    # keeps the separate-KS-program regression record)
     if best_b:
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", str(best_b),
-                 "--fuseks"],
+                 "--splitks"],
                 capture_output=True, text=True, timeout=POINT_TIMEOUT_S)
             if r.returncode == 0 and r.stdout.strip():
                 row = json.loads(r.stdout.strip().splitlines()[-1])
-                rows[f"lane_b{best_b}_fuseks.bootstraps_per_sec"] = row["bootstraps_per_sec"]
-                print(f"B={best_b} fuseks: {row['bootstraps_per_sec']:.1f}/s", flush=True)
+                rows[f"lane_b{best_b}_splitks.bootstraps_per_sec"] = row["bootstraps_per_sec"]
+                print(f"B={best_b} splitks: {row['bootstraps_per_sec']:.1f}/s", flush=True)
             else:
                 tail = (r.stderr or r.stdout).strip().splitlines()[-8:]
-                rows[f"lane_b{best_b}_fuseks.error"] = " | ".join(tail)[:500]
-                print(f"B={best_b} fuseks FAILED", flush=True)
+                rows[f"lane_b{best_b}_splitks.error"] = " | ".join(tail)[:500]
+                print(f"B={best_b} splitks FAILED", flush=True)
         except subprocess.TimeoutExpired:
-            rows[f"lane_b{best_b}_fuseks.error"] = f"timeout after {POINT_TIMEOUT_S}s"
+            rows[f"lane_b{best_b}_splitks.error"] = f"timeout after {POINT_TIMEOUT_S}s"
         _persist(rows)
     print(json.dumps({"ceiling": rows}, indent=2))
 

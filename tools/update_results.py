@@ -156,11 +156,13 @@ def gen_ceiling(t):
         return ["(batch-footprint sweep not yet run — queued as the ceiling stage)"]
     rows = ["| lane batch | bootstraps/s | note |", "|---|---|---|"]
     pts = sorted({k.split(".")[0] for k in ce},
-                 key=lambda p: (int(p.split("_b")[1].split("_")[0]), "fuseks" in p))
+                 key=lambda p: (int(p.split("_b")[1].split("_")[0]),
+                                "fuseks" in p or "splitks" in p))
     for p in pts:
         thr = ce.get(f"{p}.bootstraps_per_sec")
         err = ce.get(f"{p}.error")
-        label = p.replace("lane_b", "B=").replace("_fuseks", " + fused KS")
+        label = (p.replace("lane_b", "B=").replace("_fuseks", " + fused KS")
+                 .replace("_splitks", " + split KS (fused off)"))
         note = f"`{err[:90]}`" if err else ""
         rows.append(f"| {label} | {_f(thr, 1) if thr else '—'} | {note} |")
     return rows
