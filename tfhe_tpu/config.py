@@ -17,8 +17,8 @@ the round the A/B was recorded):
 | flag                | default (auto)               | measured justification                                                              |
 |---------------------|------------------------------|-------------------------------------------------------------------------------------|
 | TFHE_TPU_PALLAS     | on when backend is TPU       | headline: fused Pallas 2,182 boots/s vs pure-XLA scan ~8x slower (BENCH_r04)         |
-| TFHE_TPU_LOOKAHEAD  | prefix adder iff nbits>=32   | add.16/24/32: ripple 0.179/0.216/0.704 s vs prefix 0.198/0.341/0.585 s (r4 ab_* )    |
-| TFHE_TPU_SEPTET     | 7:3 compressor iff nbits>=32 | mul.16: FA 0.489 s beats septet 0.749 s; mul.32: septet 0.914 beats FA 1.217 (r4)    |
+| TFHE_TPU_LOOKAHEAD  | prefix iff batch <= 4 nums   | r5 jit A/B b=1: prefix 0.051/0.122/0.0765 s vs ripple 0.056/0.148/0.0769 (16/24/32)  |
+| TFHE_TPU_SEPTET     | off (FA Dadda tree)          | r5 jit A/B: FA 0.318/0.527/0.894 s vs septet 0.549/0.530/0.894 (16/24/32) — FA >= tie |
 | TFHE_TPU_FUSEKS     | on (FUSEKS_AUTO)             | r5 A/B: fused 2173.1 vs split 2162.5 boots/s, differential-verified identical        |
 | TFHE_PACKED_UNROLL  | 1                            | unroll=2: +15% on isolated tiny gates, sharply slower in multi-kernel programs (r3)  |
 | REF_DIR             | /root/reference/gpuParallel  | location of the reference checkout for the differential oracle build                 |
@@ -92,33 +92,39 @@ def pallas_enabled() -> bool:
 def lookahead_enabled(numbers: int, nbits: int) -> bool:
     """Parallel-prefix (Kogge-Stone) adder vs ripple.
 
-    Prefix spends ~5x the bootstraps of a ripple to cut the dependent-dispatch
-    count ~3x, which only wins when the batch is too small to fill a dispatch
-    anyway (RTT-dominated) AND the chain is long enough. Round-4 hardware A/B
-    (BENCH_TABLES add.*.ab_ripple_s / ab_prefix_s, batch 1): ripple wins at
-    16 bits (0.179 vs 0.198 s) and 24 (0.216 vs 0.341); prefix wins at 32
-    (0.585 vs 0.704). TFHE_TPU_LOOKAHEAD=0/1 forces ripple/prefix."""
+    Prefix spends ~5x the bootstraps of a ripple to cut the serial depth
+    ~3x. Under whole-circuit jit (the r5 default) the per-stage glue is gone
+    and depth-vs-volume is the whole tradeoff: the r5 batch-1 A/B has prefix
+    winning at 16 bits (0.051 vs 0.056 s) and 24 (0.122 vs 0.148) and tying
+    at 32 (0.0765 vs 0.0769), so small batches default to prefix at every
+    width. Large batches keep the ripple: its 5x-smaller bootstrap volume
+    rules once the kernels are full (the r4 vector tables were measured
+    there). TFHE_TPU_LOOKAHEAD=0/1 forces ripple/prefix."""
     v = flag("TFHE_TPU_LOOKAHEAD")
     if v in ("0", "1"):
         return v == "1"
-    return numbers <= 4 and nbits >= 32
+    return numbers <= 4
 
 
 def septet_enabled(nbits: int) -> bool:
-    """7:3 compressor levels in carry-save reductions, width-aware.
+    """7:3 compressor levels in carry-save reductions — OFF by default.
 
-    Round-4 hardware A/B (BENCH_TABLES mul.*.naive_s vs naive_fa_s, same
-    process/keys): septets LOSE at 16 bits (0.749 vs 0.489 s — too few
-    columns to amortize the recode levels) and WIN at 32 (0.914 vs 1.217 s).
-    Narrow widths therefore stay on the ±1/8 full-adder domain, whose noise
-    margin is the scheme's own (NOISE.md: z >= 12.3 vs septet 5.7/6.4).
-    TFHE_TPU_SEPTET=0/1 forces off/on at every width — with one exception:
-    bits already encoded at ±1/16 force the septet engine regardless, because
-    the FA tree cannot consume MU16 bits (see arith._wallace_sum_bits)."""
+    The septet's 0.75-bootstraps-per-removed-bit advantage paid for its extra
+    recode levels only while per-program glue dominated: the r4 eager A/B had
+    it winning at 32 bits (0.914 vs 1.217 s). Under whole-circuit jit (the r5
+    default) the FA tree wins at 16 bits (0.318 vs 0.549 s), and ties at 24
+    (0.527 vs 0.530) and 32 (0.8936 vs 0.8935) — so the default is the ±1/8
+    full-adder Dadda tree at every width, which also keeps the standard noise
+    margin (NOISE.md: z >= 12.3 under every accounting model vs the septet
+    domain's 5.7/6.4 measured / 4.1 worst-case-constant).
+    TFHE_TPU_SEPTET=1 opts in — with one exception either way: bits already
+    encoded at ±1/16 force the septet ENGINE regardless, because the FA tree
+    cannot consume MU16 bits (see arith._wallace_sum_bits); its planner still
+    caps group liveness at phasesim.max_live16."""
     v = flag("TFHE_TPU_SEPTET")
     if v in ("0", "1"):
         return v == "1"
-    return nbits >= 32
+    return False
 
 
 # Auto default for the in-kernel key-switch lever, flipped ON by the r5
