@@ -17,7 +17,7 @@ the round the A/B was recorded):
 | flag                | default (auto)               | measured justification                                                              |
 |---------------------|------------------------------|-------------------------------------------------------------------------------------|
 | TFHE_TPU_PALLAS     | on when backend is TPU       | headline: fused Pallas 2,182 boots/s vs pure-XLA scan ~8x slower (BENCH_r04)         |
-| TFHE_TPU_LOOKAHEAD  | prefix iff batch <= 4 nums   | r5 jit A/B b=1: prefix 0.051/0.122/0.0765 s vs ripple 0.056/0.148/0.0769 (16/24/32)  |
+| TFHE_TPU_LOOKAHEAD  | off (ripple everywhere)      | r5: standalone adds tie within noise; div16 0.83 s ripple vs 3.10 s prefix rounds    |
 | TFHE_TPU_SEPTET     | off (FA Dadda tree)          | r5 jit A/B: FA 0.318/0.527/0.894 s vs septet 0.549/0.530/0.894 (16/24/32) — FA >= tie |
 | TFHE_TPU_FUSEKS     | on (FUSEKS_AUTO)             | r5 A/B: fused 2173.1 vs split 2162.5 boots/s, differential-verified identical        |
 | TFHE_PACKED_UNROLL  | 1                            | unroll=2: +15% on isolated tiny gates, sharply slower in multi-kernel programs (r3)  |
@@ -90,20 +90,23 @@ def pallas_enabled() -> bool:
 
 
 def lookahead_enabled(numbers: int, nbits: int) -> bool:
-    """Parallel-prefix (Kogge-Stone) adder vs ripple.
+    """Parallel-prefix (Kogge-Stone) adder vs ripple — ripple by default.
 
     Prefix spends ~5x the bootstraps of a ripple to cut the serial depth
-    ~3x. Under whole-circuit jit (the r5 default) the per-stage glue is gone
-    and depth-vs-volume is the whole tradeoff: the r5 batch-1 A/B has prefix
-    winning at 16 bits (0.051 vs 0.056 s) and 24 (0.122 vs 0.148) and tying
-    at 32 (0.0765 vs 0.0769), so small batches default to prefix at every
-    width. Large batches keep the ripple: its 5x-smaller bootstrap volume
-    rules once the kernels are full (the r4 vector tables were measured
-    there). TFHE_TPU_LOOKAHEAD=0/1 forces ripple/prefix."""
+    ~3x; that traded well only while per-program glue dominated dispatch
+    (the r4 eager A/B had prefix winning at 32 bits). Under whole-circuit
+    jit (the r5 default) bootstrap VOLUME is the whole cost: standalone
+    adds measure as ties within tunnel noise (r5 single-shot 16/24/32:
+    ripple 0.179/0.301/0.355 s vs prefix 0.189/0.305/0.355), and circuits
+    that CHAIN adds expose the volume directly — div16 runs 0.83 s with
+    ripple rounds vs 3.10 s with prefix rounds (r5, both decrypt-verified).
+    So ripple is the default everywhere; TFHE_TPU_LOOKAHEAD=1 forces the
+    prefix form (it remains the right shape for depth-limited future
+    backends and is still exercised by the A/B rows + tests)."""
     v = flag("TFHE_TPU_LOOKAHEAD")
     if v in ("0", "1"):
         return v == "1"
-    return numbers <= 4
+    return False
 
 
 def septet_enabled(nbits: int) -> bool:
